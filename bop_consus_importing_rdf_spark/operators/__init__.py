@@ -1,0 +1,8 @@
+from .cleanup import (  # noqa: F401
+    remove_lowercase_dataset_typo,
+    dataset_subjects,
+    drop_blank_identifiers,
+)
+from .closure import reachable_closure, subgraph_triples  # noqa: F401
+from .split import split_datasets  # noqa: F401
+from .manifest import with_counter, manifest, duplicate_warnings  # noqa: F401

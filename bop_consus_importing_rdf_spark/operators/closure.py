@@ -1,0 +1,87 @@
+"""Reachability closure over the triple table (reference J1/J3).
+
+``Resource.extractAsModel()`` (reference ``Flows.kt:114``) computes the
+statements reachable from a dataset resource — following object IRIs and
+blank nodes. Relationally this is an iterative equi-join to fixpoint:
+
+    frontier := seed subjects
+    repeat: frontier := (frontier ⋈ triples on node=subj).obj  \\ visited
+
+Driver-side ``while`` over DataFrames with ``localCheckpoint()`` per
+iteration (cuts lineage — the classic failure mode of iterative Spark jobs);
+AQE picks broadcast joins automatically once the frontier shrinks below the
+broadcast threshold. DCAT graphs are shallow (~3-4 hops) so the loop runs a
+handful of iterations regardless of data size; each iteration is one shuffle
+on ``node``.
+
+The oracle twin is a recursive CTE (DuckDB) — see ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..vocab import KIND_BNODE, KIND_IRI
+
+
+def reachable_closure(
+    triples: DataFrame,
+    seeds: DataFrame,
+    follow: Sequence[str] = (KIND_IRI, KIND_BNODE),
+    scope_cols: Sequence[str] = (),
+    max_iters: int = 32,
+) -> DataFrame:
+    """All nodes reachable from each seed root.
+
+    ``seeds``: columns ``root, node`` (+ ``scope_cols``); usually
+    ``root == node`` = the dataset subject. ``triples``: the statement table
+    (+ ``scope_cols``). The closure never leaves a scope partition when
+    ``scope_cols`` is set (used by J3 to stay inside one dataset's model).
+
+    Returns ``(root, node, *scope_cols)`` including the seeds themselves.
+    """
+    scope = list(scope_cols)
+    visited = seeds.select("root", "node", *scope).distinct().localCheckpoint()
+    frontier = visited
+    for _ in range(max_iters):
+        cond = [frontier["node"] == triples["subj"]]
+        cond += [frontier[c] == triples[c] for c in scope]
+        step = (
+            frontier.join(triples, cond)
+            .filter(triples["obj_kind"].isin(*follow))
+            .select(
+                frontier["root"],
+                triples["obj_value"].alias("node"),
+                *[frontier[c] for c in scope],
+            )
+            .distinct()
+        )
+        frontier = step.join(
+            visited, ["root", "node", *scope], "left_anti"
+        ).localCheckpoint()
+        if frontier.isEmpty():
+            break
+        visited = visited.union(frontier).localCheckpoint()
+    return visited
+
+
+def subgraph_triples(
+    triples: DataFrame,
+    closure: DataFrame,
+    root_alias: str = "dataset_id",
+    scope_cols: Sequence[str] = (),
+) -> DataFrame:
+    """J1 step 2: tag every statement with the root(s) whose closure owns it.
+
+    A statement shared by two datasets' closures is emitted for both — same
+    semantics as the reference extracting an independent model per dataset.
+    """
+    scope = list(scope_cols)
+    cond = [closure["node"] == triples["subj"]]
+    cond += [closure[c] == triples[c] for c in scope]
+    return triples.join(closure, cond).select(
+        closure["root"].alias(root_alias), *[triples[c] for c in triples.columns]
+    )

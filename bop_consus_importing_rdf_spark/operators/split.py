@@ -1,0 +1,90 @@
+"""The dataset split pipeline (reference ``datasetsFlow``, ``Flows.kt:95-136``).
+
+Stage order is load-bearing and mirrors the reference exactly (SURVEY.md §7):
+F1 typo cleanup → F2 subject scan → X1 identify → F3 blank filter →
+J1 subgraph closure → J3 nested-catalogue subtraction → F4 empty filter.
+
+Where the reference loops dataset-at-a-time over an in-memory Jena model,
+this runs set-at-a-time: ONE closure computation for all datasets at once
+(the frontier join parallelizes over every dataset simultaneously), then one
+scoped closure for all nested catalogues. No per-dataset Python loop exists
+anywhere — the dataset count can be billions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.identify import with_identifier
+from ..vocab import DCAT_CATALOG, RDF_TYPE
+from .cleanup import (
+    dataset_subjects,
+    drop_blank_identifiers,
+    remove_lowercase_dataset_typo,
+)
+from .closure import reachable_closure, subgraph_triples
+
+
+def split_datasets(
+    triples: DataFrame,
+    remove_prefix: bool = False,
+    precedence_uri_ref: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Split a triple table into per-dataset subgraphs.
+
+    Returns ``(dataset_triples, datasets)``:
+
+    - ``dataset_triples``: the input statement columns + ``dataset_id`` (the
+      owning dataset subject URI), after nested-catalogue subtraction;
+    - ``datasets``: ``(subj, identifier)`` — one row per non-blank-id,
+      non-empty dataset (F3 + F4 applied).
+    """
+    t = remove_lowercase_dataset_typo(triples)  # F1, before the scan
+
+    subjects = dataset_subjects(t)  # F2
+    named = drop_blank_identifiers(  # X1 + F3
+        with_identifier(subjects, t, remove_prefix, precedence_uri_ref)
+    )
+
+    # J1: one closure for every dataset at once
+    seeds = named.select(F.col("subj").alias("root"), F.col("subj").alias("node"))
+    closure = reachable_closure(t, seeds)
+    ds_triples = subgraph_triples(t, closure, root_alias="dataset_id")
+
+    # J3: nested-catalogue subtraction, scoped inside each dataset's model.
+    # The dataset resource itself is never subtracted even if (mis)typed
+    # dcat:Catalog — the reference iterates catalogue resources of the
+    # *extracted* model and removing the root would void the dataset.
+    cat_seeds = (
+        ds_triples.filter(
+            (F.col("pred") == RDF_TYPE)
+            & (F.col("obj_value") == DCAT_CATALOG)
+            & (F.col("subj") != F.col("dataset_id"))
+        )
+        .select(
+            F.col("subj").alias("root"),
+            F.col("subj").alias("node"),
+            "dataset_id",
+        )
+        .distinct()
+    )
+    if not cat_seeds.isEmpty():
+        cat_closure = reachable_closure(
+            ds_triples, cat_seeds, scope_cols=("dataset_id",)
+        )
+        cat_subjects = cat_closure.select(
+            "dataset_id", F.col("node").alias("subj")
+        ).distinct()
+        ds_triples = ds_triples.join(
+            cat_subjects, ["dataset_id", "subj"], "left_anti"
+        )
+
+    # F4: drop datasets whose model ended up empty
+    non_empty = ds_triples.select(
+        F.col("dataset_id").alias("subj")
+    ).distinct()
+    datasets = named.join(non_empty, "subj", "left_semi").select(
+        "subj", "identifier"
+    )
+    return ds_triples, datasets

@@ -1,0 +1,121 @@
+"""F1-F5, J1-J3: the dataset split pipeline on the FIXTURES.md §2 graph.
+
+Covers every cited reference behavior: lowercase-typo cleanup before the
+scan, bnode-chain closure, nested-catalogue subtraction, blank-id drop,
+duplicate ids kept, empty-model drop.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.operators.cleanup import (
+    dataset_subjects,
+    remove_lowercase_dataset_typo,
+)
+from bop_consus_importing_rdf_spark.operators.closure import reachable_closure
+from bop_consus_importing_rdf_spark.operators.split import split_datasets
+from bop_consus_importing_rdf_spark.vocab import (
+    DCAT_CATALOG,
+    DCAT_DATASET,
+    DCAT_DATASET_PROP,
+    DCT_IDENTIFIER,
+    RDF_TYPE,
+)
+
+from .conftest import triples_df
+
+EX = "http://example.org/"
+
+
+@pytest.fixture(scope="module")
+def fixture_triples(spark):
+    rows = [
+        # ds1: plain dataset, bnode chain 2 hops deep (J1)
+        (EX + "ds1", RDF_TYPE, DCAT_DATASET, "iri"),
+        (EX + "ds1", DCT_IDENTIFIER, "id-1", "literal"),
+        (EX + "ds1", EX + "contact", "_:b1", "bnode"),
+        ("_:b1", EX + "name", "Alice", "literal"),
+        ("_:b1", EX + "addr", "_:b2", "bnode"),
+        ("_:b2", EX + "city", "Berlin", "literal"),
+        # lowercase typo row (F1) — must vanish before the scan
+        (EX + "ds1", RDF_TYPE, DCAT_DATASET_PROP, "iri"),
+        # ds2: no dct:identifier → URI fallback; contains a nested catalog (J3)
+        (EX + "ds2", RDF_TYPE, DCAT_DATASET, "iri"),
+        (EX + "ds2", EX + "inCatalog", EX + "cat1", "iri"),
+        (EX + "cat1", RDF_TYPE, DCAT_CATALOG, "iri"),
+        (EX + "cat1", EX + "title", "The Catalog", "literal"),
+        (EX + "cat1", EX + "publisher", "_:b3", "bnode"),
+        ("_:b3", EX + "name", "Gov", "literal"),
+        # ds3: blank identifier → dropped (F3)
+        (EX + "ds3", RDF_TYPE, DCAT_DATASET, "iri"),
+        (EX + "ds3", DCT_IDENTIFIER, "  ", "literal"),
+        # ds4 + ds5: duplicate identifier, both kept (J4)
+        (EX + "ds4", RDF_TYPE, DCAT_DATASET, "iri"),
+        (EX + "ds4", DCT_IDENTIFIER, "dup", "literal"),
+        (EX + "ds4", EX + "title", "four", "literal"),
+        (EX + "ds5", RDF_TYPE, DCAT_DATASET, "iri"),
+        (EX + "ds5", DCT_IDENTIFIER, "dup", "literal"),
+        (EX + "ds5", EX + "title", "five", "literal"),
+    ]
+    return triples_df(spark, rows)
+
+
+def test_f1_removes_typo_only(spark, fixture_triples):
+    cleaned = remove_lowercase_dataset_typo(fixture_triples)
+    assert cleaned.count() == fixture_triples.count() - 1
+    assert (
+        cleaned.filter(F.col("obj_value") == DCAT_DATASET_PROP).count() == 0
+    )
+
+
+def test_f2_subject_scan(spark, fixture_triples):
+    subs = {
+        r.subj
+        for r in dataset_subjects(
+            remove_lowercase_dataset_typo(fixture_triples)
+        ).collect()
+    }
+    assert subs == {EX + "ds1", EX + "ds2", EX + "ds3", EX + "ds4", EX + "ds5"}
+
+
+def test_j1_closure_follows_bnode_chain(spark, fixture_triples):
+    seeds = spark.createDataFrame(
+        [(EX + "ds1", EX + "ds1")], "root string, node string"
+    )
+    nodes = {
+        r.node for r in reachable_closure(fixture_triples, seeds).collect()
+    }
+    # ds1 itself, _:b1, _:b2, plus IRI objects of ds1's statements
+    assert {"_:b1", "_:b2", EX + "ds1"} <= nodes
+    assert EX + "cat1" not in nodes  # unreachable from ds1
+
+
+def test_split_end_to_end(spark, fixture_triples):
+    ds_triples, datasets = split_datasets(fixture_triples)
+    ids = sorted(r.identifier for r in datasets.collect())
+    # ds3 dropped (blank id); dup kept twice
+    assert ids == sorted(["dup", "dup", "id-1", EX + "ds2"])
+
+    by_ds = {
+        r.dataset_id: r.cnt
+        for r in ds_triples.groupBy("dataset_id").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    # ds1: 3 own stmts (typo removed) + 3 bnode-chain stmts = 6
+    assert by_ds[EX + "ds1"] == 6
+    # ds2: catalogue subgraph subtracted → only its 2 own statements
+    assert by_ds[EX + "ds2"] == 2
+    cat_stmts = ds_triples.filter(
+        (F.col("dataset_id") == EX + "ds2")
+        & (F.col("subj").isin(EX + "cat1", "_:b3"))
+    )
+    assert cat_stmts.count() == 0
+
+
+def test_remove_prefix_variant(spark, fixture_triples):
+    _, datasets = split_datasets(fixture_triples, remove_prefix=True,
+                                 precedence_uri_ref=True)
+    ids = sorted(r.identifier for r in datasets.collect())
+    assert ids == ["ds1", "ds2", "ds4", "ds5"]
