@@ -118,4 +118,5 @@ def test_remove_prefix_variant(spark, fixture_triples):
     _, datasets = split_datasets(fixture_triples, remove_prefix=True,
                                  precedence_uri_ref=True)
     ids = sorted(r.identifier for r in datasets.collect())
-    assert ids == ["ds1", "ds2", "ds4", "ds5"]
+    # ds3 reappears: URI precedence bypasses its blank dct:identifier
+    assert ids == ["ds1", "ds2", "ds3", "ds4", "ds5"]
