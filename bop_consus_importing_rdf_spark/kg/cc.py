@@ -1,0 +1,73 @@
+"""Connected components over a DataFrame edge list (canonicalization core).
+
+Min-label propagation with pointer doubling — the DataFrame formulation of
+the small-star/large-star family (Kiveris et al., *Connected Components in
+MapReduce and Beyond*, SoCC 2014): every iteration each node takes the MIN
+component label over itself and its neighbors, then labels are compressed by
+one ``comp := comp(comp)`` hop, giving O(log d) convergence instead of O(d).
+
+``localCheckpoint()`` every iteration truncates lineage — without it the
+plan doubles per iteration and the driver OOMs planning, the classic failure
+mode of iterative DataFrame jobs. Each iteration is two shuffles (join +
+agg) on the node key; AQE handles the skewed hot components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Label every node with its component id (= min node id in component).
+
+    ``edges`` is undirected input (each pair listed once is enough).
+    Returns ``(node, component)``.
+    """
+    a, b = F.col(src).alias("a"), F.col(dst).alias("b")
+    sym = edges.select(a, b).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    labels = nodes.withColumn("comp", F.col("node")).localCheckpoint()
+
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["a"], "left"
+        ).select(
+            labels["node"],
+            F.least(
+                labels["comp"], F.coalesce(F.col("nbr_comp"), labels["comp"])
+            ).alias("comp"),
+        )
+        # pointer doubling: comp := comp(comp)
+        l2 = stepped.select(
+            F.col("node").alias("_n2"), F.col("comp").alias("_c2")
+        )
+        doubled = (
+            stepped.join(l2, stepped["comp"] == l2["_n2"], "left")
+            .select(
+                stepped["node"],
+                F.coalesce(F.col("_c2"), stepped["comp"]).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        converged = (
+            doubled.join(labels.withColumnRenamed("comp", "_old"), "node")
+            .filter(F.col("comp") != F.col("_old"))
+            .isEmpty()
+        )
+        labels = doubled
+        if converged:
+            break
+    return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -1,0 +1,258 @@
+"""End-to-end KG construction over transcripts (the north-rule DAG).
+
+Replaces the reference's fixed dataflow (``pagesFlow`` → ``datasetsFlow`` →
+collect loop, reference ``ImportingRdfVerticle.kt:59-96``) with one Spark
+batch DAG:
+
+    transcripts ─ stable order ─ salted repartition ─ mention/relation UDFs
+      → candidate triples → entity canonicalization (MinHash→LSH→Jaccard→CC)
+      → canonical rewrite → dedup → datasets / manifest / N-Triples render
+
+Each *conversation* plays the role the reference gives a ``dcat:Dataset``:
+it gets an identifier, a counter, an N-Triples payload and a canonical hash,
+and the run ends with a manifest record per catalogue — semantics preserved
+from ``ImportingRdfVerticle.kt:84-96`` incl. duplicates-kept (J4).
+
+Scale: the only driver-side loop is the CC fixpoint (O(log d) iterations).
+The gazetteer joins are broadcast; the mention stage is Arrow-batched; the
+transcript shuffle is salted on (conv_id, turn-hash) so a hot conversation
+cannot pin a partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import canonical_hash_agg
+from ..functions.ntriples import nt_line
+from ..operators.manifest import manifest as manifest_agg
+from ..operators.manifest import with_counter
+from ..vocab import KG_NS, RDF_TYPE, XSD_NS
+from .blocking import entity_similarity_edges
+from .cc import connected_components
+from .linking import explode_mentions, link_entities
+from .mentions import detect_mentions, extract_relations
+
+PRED_MENTIONS = KG_NS + "pred:mentions"
+PRED_RELEASED = KG_NS + "pred:released"
+PRED_IN_YEAR = KG_NS + "pred:inYear"
+PRED_TEXT = KG_NS + "pred:text"
+CLASS_TURN = KG_NS + "class:Turn"
+XSD_GYEAR = XSD_NS + "gYear"
+
+
+def _turn_uri() -> F.Column:
+    return F.format_string("%sturn:%s:%d", F.lit(KG_NS), F.col("conv_id"), F.col("turn_idx"))
+
+
+def _conv_uri(col: str = "conv_id") -> F.Column:
+    return F.concat(F.lit(KG_NS + "conv:"), F.col(col))
+
+
+def stable_turns(transcripts: DataFrame) -> DataFrame:
+    """Stable turn ordering (input_hint invariant): dedupe any accidental
+    (conv_id, turn_idx) double-delivery deterministically, then order."""
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("text").asc_nulls_last()
+    )
+    return (
+        transcripts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def salted_repartition(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Deterministic salt on (conv_id, turn_idx-hash): a hot conversation
+    spreads over ~16 partitions instead of pinning one executor."""
+    salt = F.pmod(F.xxhash64("turn_idx"), F.lit(16))
+    if n:
+        return df.repartition(n, F.col("conv_id"), salt)
+    return df.repartition(F.col("conv_id"), salt)
+
+
+def extract_candidate_triples(
+    turns: DataFrame, aliases: DataFrame, alias_list: list[str]
+) -> DataFrame:
+    """Per-turn triple extraction: mention, relation, year, text, type rows.
+
+    Output columns = TRIPLES_SCHEMA minus dataset_id (+ conv_id, turn_idx
+    lineage).
+    """
+    with_m = turns.withColumn(
+        "mentions", detect_mentions(F.col("text"), alias_list)
+    ).withColumn("rel", extract_relations(F.col("text"), alias_list))
+
+    linked = link_entities(explode_mentions(with_m), aliases)
+
+    def _row(subj, pred, obj, kind, lang=None, dt=None):
+        return F.struct(
+            subj.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj_value"),
+            F.lit(kind).alias("obj_kind"),
+            (F.lit(lang).cast("string")).alias("obj_lang"),
+            (F.lit(dt).cast("string")).alias("obj_datatype"),
+        )
+
+    turn_uri = _turn_uri()
+    mention_triples = linked.select(
+        "conv_id",
+        "turn_idx",
+        _row(turn_uri, PRED_MENTIONS, F.col("entity_uri"), "iri").alias("t"),
+    )
+
+    # alias → best entity (argmax prior, deterministic tie-break); tiny dim
+    best = (
+        aliases.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("alias").orderBy(
+                    F.col("prior").desc(), F.col("entity_uri").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+        .select("alias", "entity_uri")
+    )
+    rel_rows = (
+        with_m.filter(F.col("rel.subj_alias").isNotNull())
+        .join(
+            F.broadcast(best.withColumnRenamed("alias", "_sa").withColumnRenamed("entity_uri", "_se")),
+            F.col("rel.subj_alias") == F.col("_sa"),
+        )
+        .join(
+            F.broadcast(best.withColumnRenamed("alias", "_oa").withColumnRenamed("entity_uri", "_oe")),
+            F.col("rel.obj_alias") == F.col("_oa"),
+        )
+    )
+    relation_triples = rel_rows.select(
+        "conv_id",
+        "turn_idx",
+        _row(F.col("_se"), PRED_RELEASED, F.col("_oe"), "iri").alias("t"),
+    )
+    year_triples = rel_rows.select(
+        "conv_id",
+        "turn_idx",
+        _row(turn_uri, PRED_IN_YEAR, F.col("rel.year"), "literal", dt=XSD_GYEAR).alias("t"),
+    )
+    text_triples = turns.select(
+        "conv_id",
+        "turn_idx",
+        _row(turn_uri, PRED_TEXT, F.col("text"), "literal").alias("t"),
+    )
+    type_triples = turns.select(
+        "conv_id",
+        "turn_idx",
+        _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri").alias("t"),
+    )
+
+    union = mention_triples
+    for part in (relation_triples, year_triples, text_triples, type_triples):
+        union = union.unionByName(part)
+    return union.select("conv_id", "turn_idx", "t.*")
+
+
+def canonical_entity_map(aliases: DataFrame) -> DataFrame:
+    """``(entity_uri, canonical_id)`` via MinHash/LSH similarity + CC.
+
+    canonical_id = lexicographic min URI of the merged component.
+    """
+    edges = entity_similarity_edges(aliases)
+    comp = connected_components(edges)
+    all_entities = aliases.select("entity_uri").distinct()
+    return all_entities.join(
+        comp.withColumnRenamed("node", "entity_uri"), "entity_uri", "left"
+    ).select(
+        "entity_uri",
+        F.coalesce("component", F.col("entity_uri")).alias("canonical_id"),
+    )
+
+
+def rewrite_canonical(triples: DataFrame, canon: DataFrame) -> DataFrame:
+    """Rewrite subj/obj IRIs through the canonical map (two broadcast joins),
+    then drop exact-duplicate statements per conversation."""
+    c_subj = F.broadcast(
+        canon.select(F.col("entity_uri").alias("subj"), F.col("canonical_id").alias("_cs"))
+    )
+    c_obj = F.broadcast(
+        canon.select(
+            F.col("entity_uri").alias("obj_value"), F.col("canonical_id").alias("_co")
+        )
+    )
+    out = (
+        triples.join(c_subj, "subj", "left")
+        .join(c_obj.hint("broadcast"), ["obj_value"], "left")
+        .withColumn("subj", F.coalesce("_cs", F.col("subj")))
+        .withColumn(
+            "obj_value",
+            F.when(
+                F.col("obj_kind") == "iri", F.coalesce("_co", F.col("obj_value"))
+            ).otherwise(F.col("obj_value")),
+        )
+        .drop("_cs", "_co")
+    )
+    return out.dropDuplicates(
+        ["conv_id", "subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"]
+    )
+
+
+def build_kg(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    aliases: DataFrame,
+    catalogue: str = "transcripts",
+    salt_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Run the full DAG. Returns {triples, entities, datasets, manifest}."""
+    alias_list = [r.alias for r in aliases.select("alias").distinct().collect()]
+
+    turns = salted_repartition(stable_turns(transcripts), salt_partitions)
+    cand = extract_candidate_triples(turns, aliases, alias_list)
+    canon = canonical_entity_map(aliases)
+    triples = rewrite_canonical(cand, canon).withColumn(
+        "dataset_id", _conv_uri()
+    )
+
+    rendered = triples.withColumn(
+        "nt",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ),
+    )
+    per_conv = rendered.groupBy("conv_id").agg(
+        F.concat_ws("\n", F.array_sort(F.collect_list("nt"))).alias("nt_payload"),
+        canonical_hash_agg("nt"),
+        F.count(F.lit(1)).alias("n_triples"),
+    )
+    datasets = with_counter(
+        per_conv.select(
+            F.lit(catalogue).alias("catalogue"),
+            _conv_uri().alias("subj"),
+            F.col("conv_id").alias("identifier"),
+            "nt_payload",
+            "content_hash",
+            "n_triples",
+        )
+    )
+    mf = manifest_agg(datasets)
+    entities = (
+        triples.filter(F.col("pred") == PRED_MENTIONS)
+        .groupBy(F.col("obj_value").alias("canonical_id"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .join(
+            canon.groupBy("canonical_id").agg(
+                F.collect_set("entity_uri").alias("merged_uris")
+            ),
+            "canonical_id",
+            "left",
+        )
+    )
+    return {
+        "triples": triples,
+        "entities": entities,
+        "datasets": datasets,
+        "manifest": mf,
+    }

@@ -1,0 +1,268 @@
+"""Deduplication family for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → minhash → band → bucket join),
+SimHash, and n-gram Jaccard — all as pure DataFrame compositions. The MinHash
+implementation is the generic blocking machinery the KG canonicalizer reuses
+for entity similarity.
+
+Hash choice: md5-of-salted-string, minimum taken LEXICOGRAPHICALLY over hex
+digests. md5 is available and byte-identical in Spark and DuckDB, making
+every stage oracle-checkable; a lexicographic min over a salted cryptographic
+hash is a valid min-wise family. At raw 100 TB scale swap the hex strings
+for ``xxhash64`` longs (8 bytes vs 32) — same plan shape.
+
+Scale notes:
+- shingling explodes ~|text| rows per doc; the heavy shuffle is the
+  ``groupBy(id, shingle)`` dedup and the band self-join. Band keys are
+  ~uniform (hash values), so the self-join is skew-free by construction;
+  pathological duplicate-heavy buckets are split by AQE skew handling.
+- the pair space never materializes beyond bucket-local candidates — that is
+  the whole point of LSH at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_hex
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Distinct lowercase character n-grams per document: ``(id, shingle)``."""
+    norm = F.lower(F.col(text_col))
+    positions = F.sequence(
+        F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            norm.alias("_t"),
+            F.explode(positions).alias("_p"),
+        )
+        .select("id", F.expr(f"substring(_t, _p, {n})").alias("shingle"))
+        .distinct()
+    )
+
+
+def word_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-grams per document: ``(id, shingle)``."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-content dedup: keep the min-id representative per md5(text).
+
+    Returns ``(id, rep_id, content_md5)`` for every row, so callers can
+    either filter ``id == rep_id`` (keep one) or audit duplicate groups.
+    """
+    with_h = df.select(
+        F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("content_md5")
+    )
+    reps = with_h.groupBy("content_md5").agg(F.min("id").alias("rep_id"))
+    return with_h.join(reps, "content_md5").select("id", "rep_id", "content_md5")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signature(shingles: DataFrame, k: int = 8) -> DataFrame:
+    """``(id, mh0..mh{k-1})`` — k independent min-wise hashes per doc."""
+    aggs = [
+        F.min(minhash_hex(F.col("shingle"), p)).alias(f"mh{p}") for p in range(k)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and self-join on band key → candidate ``(id_a, id_b)``.
+
+    Docs agreeing on ALL rows of ≥1 band become candidates. The join key is
+    ``(band_idx, band_key)`` — uniformly distributed, shuffle-friendly.
+    """
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_idx", "band.band_key")
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def _intersections(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
+    sh_a = shingles.select(F.col("id").alias("id_a"), "shingle")
+    sh_b = shingles.select(F.col("id").alias("id_b"), "shingle")
+    return (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+
+
+def jaccard_pairs(
+    pairs: DataFrame, shingles: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Exact Jaccard similarity for candidate pairs, filtered to ≥ threshold."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    inter = _intersections(pairs, shingles)
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 5,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup clustering: ``(id, rep_id)`` — rep = min id of the near-dup
+    cluster (connected component over the similarity edges)."""
+    from ..kg.cc import connected_components
+
+    sh = char_shingles(df, id_col, text_col, shingle_n)
+    sig = minhash_signature(sh, k)
+    cand = lsh_candidate_pairs(sig, bands, k // bands)
+    edges = jaccard_pairs(cand, sh, threshold).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges)
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return all_ids.join(
+        comp.withColumnRenamed("node", "id"), "id", "left"
+    ).select(
+        "id", F.coalesce("component", F.col("id")).alias("rep_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """32-bit SimHash per document: ``(id, simhash)``.
+
+    Token hash = first 8 hex chars of md5 (portable); per-bit majority vote
+    over tokens. Pure column ops: tokens × 32 bit-rows explode, two
+    aggregations. Near-dups then pair on small hamming distance.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long"))
+    )
+    bits = toks.select(
+        "id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    ).withColumn(
+        "vote",
+        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(-1),
+    )
+    return (
+        bits.groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0)
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within hamming distance via 4-byte block LSH.
+
+    Splits the 32-bit hash into 4 bytes; near-dups (≤3 flipped bits) must
+    share ≥1 exact byte → self-join per byte block, then exact hamming
+    filter with ``bit_count``.
+    """
+    blocks = simhashes.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * 8)
+                        .bitwiseAND(255)
+                        .alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.key")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,140 @@
+"""North-rule KG pipeline: mentions → linking → triples → canonicalization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.kg.blocking import entity_similarity_edges
+from bop_consus_importing_rdf_spark.kg.linking import (
+    explode_mentions,
+    link_entities,
+)
+from bop_consus_importing_rdf_spark.kg.mentions import (
+    detect_mentions,
+    extract_relations,
+)
+from bop_consus_importing_rdf_spark.kg.pipeline import (
+    PRED_MENTIONS,
+    PRED_RELEASED,
+    build_kg,
+    canonical_entity_map,
+)
+from bop_consus_importing_rdf_spark.kg.synth import alias_table, synth_transcripts
+from bop_consus_importing_rdf_spark.vocab import KG_NS
+
+
+@pytest.fixture(scope="module")
+def aliases(spark):
+    return alias_table(spark)
+
+
+@pytest.fixture(scope="module")
+def alias_list(aliases):
+    return [r.alias for r in aliases.select("alias").distinct().collect()]
+
+
+def test_detect_mentions_batched(spark, alias_list):
+    df = spark.createDataFrame(
+        [
+            ("Initech Corporation released Kestrel in 2001",),
+            ("nothing here",),
+            (None,),
+        ],
+        "text string",
+    )
+    got = [r.m for r in df.select(detect_mentions(F.col("text"), alias_list).alias("m")).collect()]
+    assert got[0] == ["Initech Corporation", "Kestrel"]  # longest match wins
+    assert got[1] == [] and got[2] == []
+
+
+def test_extract_relations(spark, alias_list):
+    df = spark.createDataFrame(
+        [
+            ("Globex Corp released The Kestrel in 1999",),
+            ("Globex Corp released NotAnEntity in 1999",),
+            ("free text",),
+        ],
+        "text string",
+    )
+    got = df.select(extract_relations(F.col("text"), alias_list).alias("r")).collect()
+    assert got[0].r.subj_alias == "Globex Corp"
+    assert got[0].r.obj_alias == "The Kestrel"
+    assert got[0].r.year == "1999"
+    assert got[1].r.subj_alias is None  # non-gazetteer slot rejected
+    assert got[2].r.subj_alias is None
+
+
+def test_linking_picks_max_prior_deterministically(spark, aliases):
+    m = spark.createDataFrame(
+        [("c1", 0, 0, "Mercury")],
+        "conv_id string, turn_idx int, mention_pos int, alias string",
+    )
+    got = link_entities(m, aliases).collect()
+    assert len(got) == 1
+    assert got[0].entity_uri == KG_NS + "ent:org_mercury"  # prior 0.7 > 0.3
+
+
+def test_entity_similarity_merges_near_dups_only(spark, aliases):
+    edges = entity_similarity_edges(aliases)
+    pairs = {(r.src, r.dst) for r in edges.collect()}
+    expected = {
+        (KG_NS + f"ent:org{i}a", KG_NS + f"ent:org{i}b") for i in range(0, 24, 2)
+    }
+    assert pairs == expected  # exactly the minted near-dup pairs, no more
+
+
+def test_canonical_map_idempotent_for_singletons(spark, aliases):
+    canon = canonical_entity_map(aliases)
+    m = {r.entity_uri: r.canonical_id for r in canon.collect()}
+    assert m[KG_NS + "ent:org0b"] == KG_NS + "ent:org0a"
+    assert m[KG_NS + "ent:org1"] == KG_NS + "ent:org1"
+    assert m[KG_NS + "ent:prod3"] == KG_NS + "ent:prod3"
+
+
+def test_build_kg_end_to_end(spark, aliases):
+    t = synth_transcripts(spark, n_conv=12, seed=7)
+    out = build_kg(spark, t, aliases)
+    triples = out["triples"].cache()
+
+    # no uncanonicalized near-dup URI survives the rewrite
+    leaked = triples.filter(
+        (F.col("obj_kind") == "iri") & F.col("obj_value").endswith("b")
+        & F.col("obj_value").startswith(KG_NS + "ent:org")
+    ).count()
+    assert leaked == 0
+
+    # every turn has exactly one text triple and one type triple
+    n_turns = t.select("conv_id", "turn_idx").distinct().count()
+    n_text = triples.filter(F.col("pred") == KG_NS + "pred:text").count()
+    assert n_text == n_turns
+
+    # mention triples exist and point at canonical entities
+    assert triples.filter(F.col("pred") == PRED_MENTIONS).count() > 0
+    rel = triples.filter(F.col("pred") == PRED_RELEASED)
+    assert rel.count() > 0
+
+    # datasets: one per conversation, counters dense 1..n per catalogue
+    datasets = out["datasets"].cache()
+    assert datasets.count() == 12
+    counters = sorted(r.counter for r in datasets.collect())
+    assert counters == list(range(1, 13))
+    # manifest lists every conv exactly once, ordered
+    mf = out["manifest"].collect()[0]
+    assert mf.identifiers == sorted([r.identifier for r in datasets.collect()])
+
+    # content hash is 64-hex
+    assert all(len(r.content_hash) == 64 for r in datasets.collect())
+
+
+def test_per_turn_text_equality_under_stable_ordering(spark, aliases):
+    """input_hint invariant: same corpus, different physical row order /
+    partitioning → identical triple set and identical per-turn text."""
+    t1 = synth_transcripts(spark, n_conv=8, seed=3, shuffled=False)
+    t2 = synth_transcripts(spark, n_conv=8, seed=3, shuffled=True).repartition(13)
+    out1 = build_kg(spark, t1, aliases)["triples"]
+    out2 = build_kg(spark, t2, aliases)["triples"]
+    cols = ["conv_id", "subj", "pred", "obj_value", "obj_kind"]
+    diff = out1.select(cols).exceptAll(out2.select(cols)).count()
+    diff2 = out2.select(cols).exceptAll(out1.select(cols)).count()
+    assert diff == 0 and diff2 == 0
