@@ -210,7 +210,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         "id", "h", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
     ).withColumn(
         "vote",
-        F.when(F.shiftright(F.col("h"), F.col("bit")).bitwiseAND(1) == 1, 1).otherwise(-1),
+        F.when(F.expr("shiftright(h, bit)").bitwiseAND(1) == 1, 1).otherwise(-1),
     )
     return (
         bits.groupBy("id", "bit")
@@ -218,7 +218,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .groupBy("id")
         .agg(
             F.sum(
-                F.when(F.col("v") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(0)
+                F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(0)
             ).alias("simhash")
         )
     )

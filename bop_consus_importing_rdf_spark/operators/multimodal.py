@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed metadata.
+
+Image/audio/video bytes ride as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages. The decode step itself is STUBBED (no image/audio
+libs in this container): ``decode_image_features`` raises
+``NotImplementedError`` unless ``fake=True``, in which case a deterministic
+fake decoder (byte-statistics features) exercises the real Spark plumbing —
+schema, batching, partitioning — end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id string, kind string, payload binary, "
+    "meta struct<width:int, height:int, sample_rate:int, n_frames:int>"
+)
+
+FEATURES_SCHEMA = (
+    "media_id string, kind string, n_bytes long, payload_md5 string, "
+    "byte_mean double, feature array<float>"
+)
+
+
+def synth_media(documents: DataFrame, kind: str = "image") -> DataFrame:
+    """Deterministic fake media table from the documents fixture: the text
+    bytes ARE the payload. Schema-faithful stand-in for real decoded media."""
+    return documents.select(
+        F.concat(F.lit(f"{kind}-"), F.col("doc_id").cast("string")).alias("media_id"),
+        F.lit(kind).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (F.length("text") % 640).cast("int").alias("width"),
+            (F.length("text") % 480).cast("int").alias("height"),
+            F.lit(16000).cast("int").alias("sample_rate"),
+            F.lit(1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes, n_dims: int = 8) -> list[float]:
+    """Deterministic stand-in for a real decoder: md5-seeded feature vector."""
+    h = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in h[:n_dims]]
+
+
+def decode_image_features(
+    media: DataFrame, n_dims: int = 8, fake: bool = False
+) -> DataFrame:
+    """Decode payloads → fixed-size feature vectors via ``mapInPandas``.
+
+    The real implementation would Pillow-decode and pool pixels; this
+    container has no imaging libs, so only the deterministic fake path is
+    runnable. The Spark plumbing (Arrow batches, schema, partition
+    parallelism) is identical either way.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image decode requires Pillow/libvips — not in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.str.len().astype("int64"),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(bytes(b)).hexdigest()
+                    ),
+                    "byte_mean": payloads.map(
+                        lambda b: (sum(b) / len(b)) if len(b) else 0.0
+                    ),
+                    "feature": payloads.map(
+                        lambda b: _fake_decode(bytes(b), n_dims)
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
+    """Frame sampling for video-kind rows: emit (media_id, frame_idx) rows.
+
+    Pure column ops — the per-frame payload slicing would live in the
+    decode UDF; here the *plan shape* (explode by frame index) is what
+    matters for partitioning."""
+    return media.filter(F.col("kind") == "video").select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.greatest(F.col("meta.n_frames") - 1, F.lit(0)), F.lit(every_nth)
+            )
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set,
+  JVM-side dot products via ``zip_with``/``aggregate``, per-query top-k with
+  a window. The baseline and the verifier for the approximate path.
+- ``rhp_ann_topk``: random-hyperplane LSH (SimHash for vectors, Charikar
+  2002). Every vector gets a ``n_planes``-bit signature from FIXED
+  Rademacher (±1) hyperplanes; candidates = vectors sharing a signature
+  band with the query; exact cosine re-rank inside the bucket. At 10^11
+  vectors the bucket join replaces the full cross product — that is the
+  scale path. The hyperplanes are deterministic literals (seeded), so
+  results are reproducible and oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, v: acc + v * v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query: ``(query_id, vec_id, cosine_sim, rank)``.
+
+    ``queries``: (query_id, embedding). Broadcast — the query set must be
+    small (the usual case: probe queries against a huge corpus).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+        )
+    )
+    scored = vectors.crossJoin(q).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine(F.col(vec_col), F.col("_qv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rademacher_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic ±1 hyperplanes from md5 — identical in any engine."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"rhp:{seed}:{p}:{d}".encode()).hexdigest()
+            row.append(1 if int(h[0], 16) < 8 else -1)
+        planes.append(row)
+    return planes
+
+
+def rhp_signature(
+    vec: Column, planes: list[list[int]], bands: int = 2
+) -> Column:
+    """``array<string>`` of band keys: the signature bits split into bands."""
+    n = len(planes)
+    per_band = n // bands
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(float(c)) for c in plane])) >= 0, "1"
+        ).otherwise("0")
+        for plane in planes
+    ]
+    keys = []
+    for b in range(bands):
+        seg = bits[b * per_band : (b + 1) * per_band]
+        keys.append(F.concat(F.lit(f"{b}:"), *seg))
+    return F.array(*keys)
+
+
+def rhp_ann_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing + exact re-rank.
+
+    Candidates = vectors sharing ≥1 signature band with the query. The
+    bucket join shuffles on the band key (uniform by construction); the
+    cross product never materializes.
+    """
+    planes = rademacher_planes(n_planes, dim, seed)
+    v_sig = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(rhp_signature(F.col(vec_col), planes, bands)).alias("band_key"),
+    )
+    q_sig = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(rhp_signature(F.col(vec_col), planes, bands)).alias("band_key"),
+        )
+    )
+    cand = (
+        v_sig.join(q_sig, "band_key")
+        .select("query_id", "vec_id", "_v", "_qv")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("_v"), F.col("_qv")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

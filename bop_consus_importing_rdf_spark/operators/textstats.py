@@ -1,0 +1,132 @@
+"""Text analysis for training-data pipelines.
+
+Language ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (winnowing over rolling k-gram hashes).
+
+Everything is built-in column expressions — JVM-side, codegen'd, no Python in
+the hot path — and every statistic has exact DuckDB-SQL-equivalent semantics
+so the driver oracle can verify it value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# chosen to be disjoint; all-lowercase, matched as whole words.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "with"],
+    "de": ["der", "die", "und", "ist", "mit"],
+    "es": ["el", "la", "los", "es", "con"],
+    "fr": ["le", "la", "les", "est", "avec"],
+}
+
+# BPE-ish token pattern: letter runs | digit runs | single non-space symbol
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """Occurrences of any marker word, via padded substring counts."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    total = F.lit(0)
+    for w in words:
+        needle = f" {w} "
+        count = (
+            F.length(padded) - F.length(F.replace(padded, F.lit(needle), F.lit("")))
+        ) / len(needle)
+        total = total + count
+    return total.cast("int")
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language over marker-word hit counts; 'und' when all zero.
+
+    Deterministic tie-break: language code ascending (struct max over
+    (hits, reversed-code) would be opaque — an explicit fold is clearer).
+    """
+    result = F.lit("und")
+    best = F.lit(0)
+    # iterate in REVERSE code order so earlier codes win ties at equal hits
+    for code in sorted(LANG_MARKERS, reverse=True):
+        hits = _marker_hits(text, LANG_MARKERS[code])
+        result = F.when(hits >= F.greatest(best, F.lit(1)), F.lit(code)).otherwise(result)
+        best = F.greatest(best, hits)
+    return result
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens by whitespace split (empty string → 0)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", 0).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), 0))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring features + a composite [0,1] score."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tokens = whitespace_token_count(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    stop_hits = _marker_hits(t, LANG_MARKERS["en"])
+    mean_wlen = F.when(n_tokens > 0, (F.length(F.regexp_replace(t, r"\s+", "")) / n_tokens)).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    # composite: long enough, not punctuation soup, some function words,
+    # word lengths in a natural band
+    score = (
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.25
+        + (F.lit(1.0) - F.least(punct_ratio * 5, F.lit(1.0))) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), F.lit(1.0)).otherwise(F.lit(0.0)) * 0.25
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens.cast("long"))
+        .withColumn("punct_ratio", punct_ratio.cast("double"))
+        .withColumn("stopword_ratio", stop_ratio.cast("double"))
+        .withColumn("mean_word_len", mean_wlen.cast("double"))
+        .withColumn("quality_score", score.cast("double"))
+    )
+
+
+def fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 7,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003).
+
+    Rolling k-gram md5 hashes; per sliding window of ``window`` consecutive
+    grams keep the minimum hash; a document's fingerprint set = the distinct
+    selected hashes. Shared fingerprints ⇒ shared substrings — the standard
+    plagiarism / near-dup localizer.
+
+    Returns ``(id, fingerprint)`` distinct. Pure column ops: explode +
+    window-min; the window is per-document, ordered by gram position.
+    """
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        norm.alias("_t"),
+        F.explode(positions).alias("pos"),
+    ).select("id", "pos", F.md5(F.expr(f"substring(_t, pos, {k})")).alias("gram_hash"))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        grams.withColumn("fingerprint", F.min("gram_hash").over(w))
+        .select("id", "fingerprint")
+        .distinct()
+    )

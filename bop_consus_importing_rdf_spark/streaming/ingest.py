@@ -1,0 +1,62 @@
+"""Incremental transcript ingestion via Structured Streaming.
+
+The reference's Kotlin Flow is a *bounded* sequential stream per pipe run —
+batch semantics — so the core pipeline is batch (SURVEY.md §1.4). This
+module is the unbounded variant for continuously-arriving transcripts: a
+file-source stream over a transcripts directory, per-microbatch triple
+extraction with the SAME batch code path (``foreachBatch``), appended to a
+parquet sink with checkpointing. Exactly-once per batch comes from the
+sink's idempotent overwrite-by-batch-id directory layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import TRANSCRIPTS_SCHEMA
+
+
+def stream_extract_triples(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    aliases: DataFrame,
+    available_now: bool = True,
+):
+    """Start (and with ``available_now``, drain) the streaming extraction.
+
+    Returns the StreamingQuery. Watermarking is unnecessary: extraction is
+    stateless per turn — ordering/dedup happen in the downstream batch
+    compaction, same as the batch pipeline.
+    """
+    from ..kg.mentions import detect_mentions
+    from ..kg.linking import explode_mentions, link_entities
+    from pyspark.sql import functions as F
+
+    alias_list = [r.alias for r in aliases.select("alias").distinct().collect()]
+
+    stream = (
+        spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+        .parquet(input_dir)
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        with_m = batch_df.withColumn(
+            "mentions", detect_mentions(F.col("text"), alias_list)
+        )
+        linked = link_entities(explode_mentions(with_m), aliases)
+        (
+            linked.write.mode("overwrite").parquet(
+                os.path.join(output_dir, f"batch_id={batch_id}")
+            )
+        )
+
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", os.path.join(output_dir, "_checkpoint"))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,90 @@
+"""Dedup family: exact, MinHash+LSH, SimHash, n-gram shingling."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.operators.dedup import (
+    char_shingles,
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    minhash_signature,
+    simhash32,
+    simhash_near_pairs,
+    word_ngrams,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+        (4, "completely different text about spark pipelines"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "id", "text")
+    reps = {r.id: r.rep_id for r in out.collect()}
+    assert reps[1] == 1 and reps[2] == 1  # dup group collapses to min id
+    assert reps[3] == 3 and reps[4] == 4 and reps[5] == 5
+
+
+def test_char_shingles_short_text(spark):
+    sh = char_shingles(_docs(spark), "id", "text", n=5)
+    got = {r.shingle for r in sh.filter(F.col("id") == 5).collect()}
+    assert got == {"short"}
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, text string")
+    got = sorted(r.shingle for r in word_ngrams(df, "id", "text", 2).collect())
+    assert got == ["a b", "b c", "c d"]
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    sig = minhash_signature(char_shingles(_docs(spark), "id", "text", 5), k=8)
+    rows = {r.id: tuple(r[f"mh{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[4]
+
+
+def test_minhash_dedup_clusters(spark):
+    out = minhash_dedup(
+        _docs(spark), "id", "text", shingle_n=5, k=8, bands=4, threshold=0.6
+    )
+    reps = {r.id: r.rep_id for r in out.collect()}
+    assert reps[1] == reps[2] == 1
+    assert reps[3] == 1  # near-dup joins the cluster (jaccard ≈ 0.8)
+    assert reps[4] == 4 and reps[5] == 5
+
+
+def test_jaccard_exactness(spark):
+    docs = spark.createDataFrame(
+        [(1, "ab bc"), (2, "ab bc"), (3, "zz yy")], "id long, text string"
+    )
+    sh = word_ngrams(docs, "id", "text", 1)
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.jaccard for r in jaccard_pairs(pairs, sh, 0.0).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got  # zero intersection never materializes
+
+
+def test_simhash_near_pairs(spark):
+    out = simhash32(_docs(spark), "id", "text")
+    hashes = {r.id: r.simhash for r in out.collect()}
+    assert hashes[1] == hashes[2]
+    pairs = simhash_near_pairs(
+        spark.createDataFrame(
+            [(k, v) for k, v in hashes.items()], "id long, simhash long"
+        ),
+        max_hamming=8,
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all({a, b} != {4, 5} for a, b in got)

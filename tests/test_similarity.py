@@ -1,0 +1,56 @@
+"""Similarity search: exact cosine top-k + random-hyperplane ANN recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.operators.similarity import (
+    cosine_topk,
+    rhp_ann_topk,
+)
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(vectors):
+    return vectors.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_exact_topk_self_is_nearest(spark, vectors, queries):
+    out = cosine_topk(vectors, queries, k=5).cache()
+    top1 = {r.query_id: r.vec_id for r in out.filter(F.col("rank") == 1).collect()}
+    assert top1 == {q: q for q in range(5)}  # self-similarity = 1.0
+    assert out.count() == 25
+    sims = [r.cosine_sim for r in out.filter(F.col("query_id") == 0)
+            .orderBy("rank").collect()]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_ann_recall_vs_exact(spark, vectors, queries):
+    k = 10
+    exact = cosine_topk(vectors, queries, k=k)
+    ann = rhp_ann_topk(vectors, queries, k=k, n_planes=16, bands=8, dim=64)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in ann.collect()}
+    recall = len(e & a) / len(e)
+    # 8 bands of 2 bits each is permissive blocking — recall should be high
+    assert recall >= 0.8, f"ANN recall {recall}"
+
+
+def test_ann_never_scores_worse_candidates_higher(spark, vectors, queries):
+    ann = rhp_ann_topk(vectors, queries, k=3, n_planes=16, bands=8, dim=64)
+    for q in range(5):
+        sims = [
+            r.cosine_sim
+            for r in ann.filter(F.col("query_id") == q).orderBy("rank").collect()
+        ]
+        assert sims == sorted(sims, reverse=True)
