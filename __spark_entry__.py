@@ -1,38 +1,115 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``: flagship KG-construction query at sf0.001.
+``queries()``: one entry per implemented operator (SURVEY.md §2 + north-rule
+extension + training-data ops). ``oracle_sql()``: DuckDB-equivalent SQL for
+every SQL-expressible query (22 of them) — engineered so both engines
+produce byte-identical values (see bop_consus_importing_rdf_spark/oracle.py).
+Queries without an oracle entry (iterative CC, LSH-ANN, SimHash, the full
+transcript pipeline) get the driver's rows-only check and are additionally
+golden-tested in tests/.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from bop_consus_importing_rdf_spark.oracle import (  # noqa: E402
+    DOC_GAZETTEER,
+    ORACLES,
+    SPARK_QUERIES,
+)
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG triples extracted from the documents corpus at sf0.001
+    (gazetteer mention detection → entity linking → N-Triples rendering)."""
+    return SPARK_QUERIES["doc_kg_triples"](spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: iterative fixpoints, LSH-ANN,
+# SimHash bit arithmetic, the full transcript pipeline)
+# ---------------------------------------------------------------------------
+
+def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bop_consus_importing_rdf_spark.operators.dedup import minhash_dedup
+    from bop_consus_importing_rdf_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", shingle_n=5, k=8, bands=4,
+                         threshold=0.6)
+
+
+def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bop_consus_importing_rdf_spark.operators.dedup import simhash32
+    from bop_consus_importing_rdf_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")
+
+
+def _q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from bop_consus_importing_rdf_spark.operators.similarity import rhp_ann_topk
+    from bop_consus_importing_rdf_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return rhp_ann_topk(emb, queries_df, k=10, n_planes=16, bands=8, dim=64)
+
+
+def _q_entity_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bop_consus_importing_rdf_spark.kg.pipeline import canonical_entity_map
+    from bop_consus_importing_rdf_spark.kg.synth import alias_table
+
+    return canonical_entity_map(alias_table(spark))
+
+
+def _q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bop_consus_importing_rdf_spark.kg.pipeline import build_kg
+    from bop_consus_importing_rdf_spark.kg.synth import alias_table, synth_transcripts
+
+    t = synth_transcripts(spark, n_conv=40, seed=42)
+    return build_kg(spark, t, alias_table(spark))["triples"]
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bop_consus_importing_rdf_spark.operators.multimodal import (
+        decode_image_features,
+        synth_media,
+    )
+    from bop_consus_importing_rdf_spark.sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_features(synth_media(docs), n_dims=8, fake=True)
+
+
+_ROWS_ONLY = {
+    "minhash_dedup_docs": _q_minhash_dedup_docs,
+    "simhash_docs": _q_simhash_docs,
+    "ann_rhp_topk": _q_ann_rhp_topk,
+    "entity_canonical_map": _q_entity_canonical_map,
+    "kg_transcripts_e2e": _q_kg_transcripts_e2e,
+    "multimodal_features": _q_multimodal_features,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    out.update(SPARK_QUERIES)
+    out.update(_ROWS_ONLY)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

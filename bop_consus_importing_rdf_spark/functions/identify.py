@@ -30,8 +30,18 @@ def identify(
     remove_prefix: bool = False,
     precedence_uri_ref: bool = False,
 ) -> Column:
-    """Derive the dataset identifier from its URI + optional dct:identifier."""
-    uri_form = F.regexp_extract(uri, _LAST_SEGMENT, 1) if remove_prefix else uri
+    """Derive the dataset identifier from its URI + optional dct:identifier.
+
+    A blank-node subject (``_:`` label) has NO URI in RDF — its URI form is
+    null, which is exactly how the reference ends up with blank identifiers
+    to warn about and drop (F3, ``Flows.kt:108-109``).
+    """
+    base = F.when(uri.startswith("_:"), None).otherwise(uri)
+    uri_form = (
+        F.regexp_extract(base, _LAST_SEGMENT, 1) if remove_prefix else base
+    )
+    if remove_prefix:
+        uri_form = F.when(base.isNull(), None).otherwise(uri_form)
     ident = F.when(dct_identifier == "", None).otherwise(dct_identifier)
     if precedence_uri_ref:
         return F.coalesce(uri_form, ident)
@@ -70,8 +80,9 @@ def sql_identify(
     precedence_uri_ref: bool = False,
 ) -> str:
     """Portable SQL twin of :func:`identify` (Spark SQL + DuckDB)."""
+    base = f"case when substring({uri},1,2)='_:' then null else {uri} end"
     uri_form = (
-        f"regexp_extract({uri}, '([^/]+)$', 1)" if remove_prefix else uri
+        f"regexp_extract({base}, '([^/]+)$', 1)" if remove_prefix else base
     )
     ident = f"nullif({dct_identifier}, '')"
     if precedence_uri_ref:

@@ -43,17 +43,21 @@ def _marker_hits(text: Column, words: list[str]) -> Column:
 def lang_id(text: Column) -> Column:
     """Argmax language over marker-word hit counts; 'und' when all zero.
 
-    Deterministic tie-break: language code ascending (struct max over
-    (hits, reversed-code) would be opaque — an explicit fold is clearer).
+    Deterministic tie-break: language code ascending. Expressed as an
+    explicit CASE chain — ``code_i`` wins iff its hits ≥ max(hits of every
+    later code, 1) — the exact shape the DuckDB oracle uses, so both
+    engines agree by construction.
     """
-    result = F.lit("und")
-    best = F.lit(0)
-    # iterate in REVERSE code order so earlier codes win ties at equal hits
-    for code in sorted(LANG_MARKERS, reverse=True):
-        hits = _marker_hits(text, LANG_MARKERS[code])
-        result = F.when(hits >= F.greatest(best, F.lit(1)), F.lit(code)).otherwise(result)
-        best = F.greatest(best, hits)
-    return result
+    codes = sorted(LANG_MARKERS)
+    hits = {c: _marker_hits(text, LANG_MARKERS[c]) for c in codes}
+    expr = F.lit("und")
+    for i in range(len(codes) - 1, -1, -1):
+        rest = [hits[c] for c in codes[i + 1 :]] + [F.lit(1)]
+        cond = hits[codes[i]] >= (
+            F.greatest(*rest) if len(rest) > 1 else rest[0]
+        )
+        expr = F.when(cond, F.lit(codes[i])).otherwise(expr)
+    return expr
 
 
 def whitespace_token_count(text: Column) -> Column:

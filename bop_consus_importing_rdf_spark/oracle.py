@@ -1,0 +1,818 @@
+"""Oracle-checked query definitions for the driver contract.
+
+Each query exists twice: a Spark implementation built from this package's
+operators, and a DuckDB SQL string with IDENTICAL semantics. The driver runs
+both at sf=0.01 and compares row count + schema + order-insensitive value
+hash — so every construct here sticks to operations whose results are
+byte-identical across engines:
+
+- md5 / sha256 hex digests, integer arithmetic, string concat with ``||``;
+- special characters built with ``chr()`` (dialect-safe);
+- floats only as a SINGLE division of identical integers, or quantized
+  (``floor(x*1000)``) integer dot products — never accumulation-order-
+  dependent float sums;
+- DuckDB ``regexp_replace`` gets the explicit ``'g'`` flag (Spark is global
+  by default).
+
+The RDF fixture graph is DERIVED from the TPC-H tables by a portable SQL
+string run verbatim in both engines (``RDF_GRAPH_SQL``): orders become
+``dcat:Dataset`` resources with literal/lang/datatype properties, customers
+become blank-node subtrees, nations become nested ``dcat:Catalog`` subgraphs
+(with region one hop below), and deliberate warts exercise every reference
+behavior: lowercase-typo rows (F1), missing ``dct:identifier`` (X1
+fallback), blank-node datasets (F3 drop), duplicate identifiers (J4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.identify import sql_identify
+from .functions.ntriples import nt_line, sql_nt_line
+from .operators.textstats import BPE_TOKEN_PATTERN, LANG_MARKERS
+from .sources.catalog import register_views
+from .vocab import (
+    DCAT_CATALOG,
+    DCAT_DATASET,
+    DCAT_DATASET_PROP,
+    DCT_IDENTIFIER,
+    RDF_TYPE,
+    XSD_NS,
+)
+
+CATALOGUE = "cat-tpch"
+EX = "urn:p:"
+XSD_INTEGER = XSD_NS + "integer"
+
+# ---------------------------------------------------------------------------
+# the derived RDF graph — one portable SQL string, run verbatim in BOTH engines
+# ---------------------------------------------------------------------------
+
+_NULLS = "cast(null as string) AS obj_lang, cast(null as string) AS obj_datatype"
+
+_BASE_SQL = """
+  SELECT o.o_orderkey AS k,
+         'urn:ds:' || o.o_orderkey AS ds,
+         'doc-' || (o.o_orderkey % 8) AS doc,
+         o.o_orderstatus AS status,
+         cast(floor(o.o_totalprice) AS bigint) AS price,
+         o.o_orderpriority AS priority,
+         c.c_custkey AS ck
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+_GRAPH_SELECT_SQL = f"""
+SELECT doc AS doc_id, ds AS subj, '{RDF_TYPE}' AS pred,
+       '{DCAT_DATASET}' AS obj_value, 'iri' AS obj_kind, {_NULLS}
+FROM base
+UNION ALL
+SELECT doc, ds, '{RDF_TYPE}', '{DCAT_DATASET_PROP}', 'iri', {_NULLS}
+FROM base WHERE k % 7 = 0
+UNION ALL
+SELECT doc, ds, '{DCT_IDENTIFIER}',
+       CASE WHEN k % 50 = 0 THEN 'ord-dup-' || (k % 200)
+            ELSE 'ord-' || k END,
+       'literal', {_NULLS}
+FROM base WHERE k % 3 <> 0
+UNION ALL
+SELECT doc, ds, '{EX}status', status, 'literal', {_NULLS} FROM base
+UNION ALL
+SELECT doc, ds, '{EX}price', '' || price, 'literal',
+       cast(null as string), '{XSD_INTEGER}'
+FROM base
+UNION ALL
+SELECT doc, ds, '{EX}priority', priority, 'literal',
+       'en', cast(null as string)
+FROM base
+UNION ALL
+SELECT doc, ds, '{EX}customer', '_:c' || ck, 'bnode', {_NULLS} FROM base
+UNION ALL
+SELECT doc, '_:ds' || k, '{RDF_TYPE}', '{DCAT_DATASET}', 'iri', {_NULLS}
+FROM base WHERE k % 97 = 0
+UNION ALL
+SELECT doc, '_:ds' || k, '{EX}status', status, 'literal', {_NULLS}
+FROM base WHERE k % 97 = 0
+UNION ALL
+SELECT 'doc-' || (c.c_custkey % 8), '_:c' || c.c_custkey, '{EX}name',
+       c.c_name, 'literal', {_NULLS}
+FROM customer c
+UNION ALL
+SELECT 'doc-' || (c.c_custkey % 8), '_:c' || c.c_custkey, '{EX}nation',
+       'urn:nation:' || c.c_nationkey, 'iri', {_NULLS}
+FROM customer c
+UNION ALL
+SELECT 'doc-' || (n.n_nationkey % 8), 'urn:nation:' || n.n_nationkey,
+       '{RDF_TYPE}', '{DCAT_CATALOG}', 'iri', {_NULLS}
+FROM nation n
+UNION ALL
+SELECT 'doc-' || (n.n_nationkey % 8), 'urn:nation:' || n.n_nationkey,
+       '{EX}name', n.n_name, 'literal', {_NULLS}
+FROM nation n
+UNION ALL
+SELECT 'doc-' || (n.n_nationkey % 8), 'urn:nation:' || n.n_nationkey,
+       '{EX}region', 'urn:region:' || n.n_regionkey, 'iri', {_NULLS}
+FROM nation n
+UNION ALL
+SELECT 'doc-' || (r.r_regionkey % 8), 'urn:region:' || r.r_regionkey,
+       '{EX}name',
+       r.r_name || chr(10) || chr(34) || 'q' || chr(92) || chr(9),
+       'literal', {_NULLS}
+FROM region r
+"""
+
+RDF_GRAPH_SQL = f"WITH base AS ({_BASE_SQL}) {_GRAPH_SELECT_SQL}"
+
+DOC_TOTALS_SQL = """
+SELECT DISTINCT 'doc-' || (o_orderkey % 8) AS doc_id,
+       CASE WHEN (o_orderkey % 8) % 2 = 0
+            THEN 500 + (o_orderkey % 8) ELSE 0 END AS hydra_total
+FROM orders
+"""
+
+# recursive closure + split, DuckDB side (mirrors operators/split.py exactly).
+# ``base`` is hoisted to the top-level CTE list: DuckDB mis-scopes a WITH
+# nested inside a CTE body containing UNION ALL when RECURSIVE is in effect.
+SPLIT_CTE = f"""
+WITH RECURSIVE base AS ({_BASE_SQL}),
+graph AS ({_GRAPH_SELECT_SQL}),
+cleaned AS (
+  SELECT * FROM graph
+  WHERE NOT (pred = '{RDF_TYPE}' AND obj_value = '{DCAT_DATASET_PROP}'
+             AND obj_kind = 'iri')
+),
+subjects AS (
+  SELECT DISTINCT subj FROM cleaned
+  WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_DATASET}'
+),
+ids AS (
+  SELECT subj, min(obj_value) AS dct_id FROM cleaned
+  WHERE pred = '{DCT_IDENTIFIER}' GROUP BY subj
+),
+named AS (
+  SELECT s.subj, {sql_identify('s.subj', 'i.dct_id')} AS identifier
+  FROM subjects s LEFT JOIN ids i ON i.subj = s.subj
+),
+seeds AS (
+  SELECT subj, identifier FROM named
+  WHERE identifier IS NOT NULL AND trim(identifier) <> ''
+),
+reach(root, node) AS (
+  SELECT subj, subj FROM seeds
+  UNION
+  SELECT r.root, t.obj_value FROM reach r
+  JOIN cleaned t ON t.subj = r.node
+  WHERE t.obj_kind IN ('iri', 'bnode')
+),
+ds_triples AS (
+  SELECT r.root AS dataset_id, t.*
+  FROM cleaned t JOIN reach r ON t.subj = r.node
+),
+cat_reach(dataset_id, root, node) AS (
+  SELECT DISTINCT dataset_id, subj, subj FROM ds_triples
+  WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_CATALOG}'
+    AND subj <> dataset_id
+  UNION
+  SELECT c.dataset_id, c.root, t.obj_value FROM cat_reach c
+  JOIN ds_triples t ON t.dataset_id = c.dataset_id AND t.subj = c.node
+  WHERE t.obj_kind IN ('iri', 'bnode')
+),
+final_triples AS (
+  SELECT dt.* FROM ds_triples dt
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cat_reach cr
+    WHERE cr.dataset_id = dt.dataset_id AND cr.node = dt.subj
+  )
+),
+datasets AS (
+  SELECT s.subj, s.identifier FROM seeds s
+  WHERE EXISTS (SELECT 1 FROM final_triples f WHERE f.dataset_id = s.subj)
+)
+"""
+
+# gazetteer over the documents vocabulary (collision: 'spark' → 2 entities)
+DOC_GAZETTEER = [
+    ("spark", "urn:kg:ent:spark-engine", 0.8),
+    ("spark", "urn:kg:ent:spark-word", 0.2),
+    ("customer", "urn:kg:ent:customer", 0.9),
+    ("join", "urn:kg:ent:join", 0.7),
+    ("window", "urn:kg:ent:window", 0.6),
+    ("merge", "urn:kg:ent:merge", 0.5),
+    ("filter", "urn:kg:ent:filter", 0.4),
+]
+DOC_ALIASES = sorted({a for a, _, _ in DOC_GAZETTEER})
+_MENTION_RE = r"\b(" + "|".join(DOC_ALIASES) + r")\b"
+
+GAZ_VALUES_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{a}', '{e}', {p})" for a, e, p in DOC_GAZETTEER
+) + ") g(alias, entity_uri, prior)"
+
+MENTIONS_CTE = f"""
+WITH raw AS (
+  SELECT doc_id, regexp_extract_all(text, '{_MENTION_RE}') AS ms
+  FROM documents
+),
+mentions AS (
+  SELECT doc_id, unnest(ms) AS alias,
+         unnest(range(0, len(ms))) AS mention_pos
+  FROM raw
+)
+"""
+
+
+def _sql_marker_hits(expr: str, words: list[str]) -> str:
+    padded = f"(' ' || lower({expr}) || ' ')"
+    terms = []
+    for w in words:
+        needle = f" {w} "
+        terms.append(
+            f"cast((length({padded}) - length(replace({padded}, '{needle}', '')))"
+            f" / {len(needle)} AS int)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_lang_id(expr: str) -> str:
+    codes = sorted(LANG_MARKERS)
+    hits = {c: _sql_marker_hits(expr, LANG_MARKERS[c]) for c in codes}
+    clauses = []
+    for i, c in enumerate(codes):
+        rest = [hits[x] for x in codes[i + 1 :]] + ["1"]
+        bound = f"greatest({', '.join(rest)})" if len(rest) > 1 else rest[0]
+        clauses.append(f"WHEN {hits[c]} >= {bound} THEN '{c}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query implementations
+# ---------------------------------------------------------------------------
+
+def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(RDF_GRAPH_SQL)
+
+
+def q_nt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return g.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
+def q_dataset_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.cleanup import dataset_subjects, remove_lowercase_dataset_typo
+
+    return dataset_subjects(remove_lowercase_dataset_typo(_graph(spark, sf_dir)))
+
+
+def q_identify_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.identify import identify
+    from .operators.cleanup import dataset_subjects, remove_lowercase_dataset_typo
+
+    g = remove_lowercase_dataset_typo(_graph(spark, sf_dir))
+    subs = dataset_subjects(g)
+    ids = (
+        g.filter(F.col("pred") == DCT_IDENTIFIER)
+        .groupBy("subj")
+        .agg(F.min("obj_value").alias("dct_id"))
+    )
+    j = subs.join(ids, "subj", "left")
+    u, d = F.col("subj"), F.col("dct_id")
+    return j.select(
+        "subj",
+        identify(u, d, False, False).alias("id_default"),
+        identify(u, d, True, False).alias("id_noprefix"),
+        identify(u, d, False, True).alias("id_uriref"),
+        identify(u, d, True, True).alias("id_uriref_noprefix"),
+    )
+
+
+def _split(spark: SparkSession, sf_dir: str):
+    from .operators.split import split_datasets
+
+    return split_datasets(_graph(spark, sf_dir))
+
+
+def q_split_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds_triples, datasets = _split(spark, sf_dir)
+    counts = ds_triples.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    return datasets.join(
+        counts, datasets["subj"] == counts["dataset_id"]
+    ).select(F.col("dataset_id"), F.col("identifier"), F.col("n_triples"))
+
+
+def _counted_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.manifest import with_counter
+
+    _, datasets = _split(spark, sf_dir)
+    return with_counter(datasets.withColumn("catalogue", F.lit(CATALOGUE)))
+
+
+def q_dataset_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _counted_datasets(spark, sf_dir).select(
+        "catalogue", "subj", "identifier", "counter"
+    )
+
+
+def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.manifest import manifest
+
+    mf = manifest(_counted_datasets(spark, sf_dir))
+    return mf.select(
+        "catalogue", F.concat_ws(",", "identifiers").alias("manifest_csv")
+    )
+
+
+def q_duplicate_warnings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.manifest import duplicate_warnings
+
+    return duplicate_warnings(_counted_datasets(spark, sf_dir)).select(
+        "catalogue", "identifier", "n_occurrences"
+    )
+
+
+def q_total_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.manifest import resolve_total
+
+    g = _graph(spark, sf_dir)
+    _, datasets = _split(spark, sf_dir)
+    doc_of = (
+        g.filter(
+            (F.col("pred") == RDF_TYPE) & (F.col("obj_value") == DCAT_DATASET)
+        )
+        .select("subj", "doc_id")
+        .distinct()
+    )
+    ds = datasets.join(doc_of, "subj")
+    doc_totals = spark.sql(DOC_TOTALS_SQL)
+    return (
+        resolve_total(ds, doc_totals)
+        .select("doc_id", "total")
+        .distinct()
+    )
+
+
+def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.hashing import canonical_hash_agg
+
+    ds_triples, _ = _split(spark, sf_dir)
+    rendered = ds_triples.withColumn(
+        "nt",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ),
+    )
+    return rendered.groupBy("dataset_id").agg(canonical_hash_agg("nt"))
+
+
+def q_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .kg.mentions import detect_mentions
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_m = docs.withColumn("ms", detect_mentions(F.col("text"), DOC_ALIASES))
+    return with_m.select(
+        "doc_id", F.posexplode("ms").alias("mention_pos", "alias")
+    ).select("doc_id", "alias", F.col("mention_pos").cast("long"))
+
+
+def q_doc_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .kg.linking import link_entities
+
+    gaz = spark.createDataFrame(
+        DOC_GAZETTEER, "alias string, entity_uri string, prior double"
+    )
+    m = q_doc_mentions(spark, sf_dir).withColumnRenamed("doc_id", "conv_id") \
+        .withColumn("turn_idx", F.lit(0))
+    linked = link_entities(m, gaz)
+    return linked.select(
+        F.col("conv_id").alias("doc_id"),
+        F.col("mention_pos").cast("long"),
+        "alias",
+        "entity_uri",
+        "score",
+    )
+
+
+def q_doc_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    linked = q_doc_entity_links(spark, sf_dir)
+    subj = F.concat(F.lit("urn:kg:turn:doc-"), F.col("doc_id"), F.lit(":0"))
+    t = linked.select(
+        subj.alias("subj"),
+        F.lit("urn:kg:pred:mentions").alias("pred"),
+        F.col("entity_uri").alias("obj_value"),
+        F.lit("iri").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    ).distinct()
+    return t.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("id", "rep_id")
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import char_shingles, minhash_signature
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_signature(char_shingles(docs, "doc_id", "text", 5), k=6)
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        char_shingles,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", 5)
+    sig = minhash_signature(sh, k=6)
+    cand = lsh_candidate_pairs(sig, bands=3, rows_per_band=2)
+    return jaccard_pairs(cand, sh, threshold=0.5)
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import bpe_token_count, whitespace_token_count
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        whitespace_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_features
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+        "mean_word_len", "quality_score",
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprints
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprints(docs, "doc_id", "text", k=7, window=4)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.floor(x * 1000).cast("long")
+    )
+    v = emb.select(F.col("vec_id"), quant.alias("qv"))
+    q = F.broadcast(
+        v.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+        )
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    scored = v.crossJoin(q).select(
+        "query_id",
+        "vec_id",
+        (
+            dot(F.col("qq"), F.col("qv")).cast("double")
+            / F.sqrt(
+                (dot(F.col("qq"), F.col("qq")) * dot(F.col("qv"), F.col("qv")))
+                .cast("double")
+            )
+        ).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "vec_id", "cosine_sim", F.col("rnk").cast("long"))
+    )
+
+
+def q_events_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "user_id", "event_id",
+        F.row_number().over(w).cast("long").alias("counter"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("_ns", new_session)
+        .withColumn(
+            "session_idx",
+            F.sum("_ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        .select("user_id", "event_id", "session_idx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+def _oracle_split_suffix(select: str) -> str:
+    return SPLIT_CTE + select
+
+
+_SHINGLES_CTE = """
+WITH sh AS (
+  SELECT DISTINCT id, substring(t, pos, 5) AS shingle
+  FROM (
+    SELECT doc_id AS id, lower(text) AS t,
+           unnest(range(1, greatest(length(text)-4, 1)+1)) AS pos
+    FROM documents
+  )
+)
+"""
+
+_SIG_SELECT = (
+    "SELECT id, "
+    + ", ".join(f"min(md5('p{p}:'||shingle)) AS mh{p}" for p in range(6))
+    + " FROM sh GROUP BY id"
+)
+
+ORACLES: dict[str, str] = {
+    "nt_render": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT {sql_nt_line()} AS line FROM graph"
+    ),
+    "dataset_subjects": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}), cleaned AS ("
+        f"  SELECT * FROM graph WHERE NOT (pred = '{RDF_TYPE}' "
+        f"  AND obj_value = '{DCAT_DATASET_PROP}' AND obj_kind = 'iri'))"
+        f"SELECT DISTINCT subj FROM cleaned "
+        f"WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_DATASET}'"
+    ),
+    "identify_flags": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}), cleaned AS ("
+        f"  SELECT * FROM graph WHERE NOT (pred = '{RDF_TYPE}' "
+        f"  AND obj_value = '{DCAT_DATASET_PROP}' AND obj_kind = 'iri')),"
+        f"subjects AS (SELECT DISTINCT subj FROM cleaned "
+        f"  WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_DATASET}'),"
+        f"ids AS (SELECT subj, min(obj_value) AS dct_id FROM cleaned "
+        f"  WHERE pred = '{DCT_IDENTIFIER}' GROUP BY subj) "
+        f"SELECT s.subj, "
+        f"{sql_identify('s.subj', 'i.dct_id', False, False)} AS id_default, "
+        f"{sql_identify('s.subj', 'i.dct_id', True, False)} AS id_noprefix, "
+        f"{sql_identify('s.subj', 'i.dct_id', False, True)} AS id_uriref, "
+        f"{sql_identify('s.subj', 'i.dct_id', True, True)} AS id_uriref_noprefix "
+        f"FROM subjects s LEFT JOIN ids i ON i.subj = s.subj"
+    ),
+    "split_datasets": _oracle_split_suffix(
+        "SELECT d.subj AS dataset_id, d.identifier, "
+        "cast(count(*) AS bigint) AS n_triples "
+        "FROM datasets d JOIN final_triples f ON f.dataset_id = d.subj "
+        "GROUP BY d.subj, d.identifier"
+    ),
+    "dataset_counter": _oracle_split_suffix(
+        f"SELECT '{CATALOGUE}' AS catalogue, subj, identifier, "
+        f"cast(row_number() OVER (ORDER BY identifier, subj) AS bigint) "
+        f"AS counter FROM datasets"
+    ),
+    "manifest": _oracle_split_suffix(
+        f"SELECT '{CATALOGUE}' AS catalogue, "
+        f"string_agg(identifier, ',' ORDER BY identifier, subj) "
+        f"AS manifest_csv FROM datasets"
+    ),
+    "duplicate_warnings": _oracle_split_suffix(
+        f"SELECT '{CATALOGUE}' AS catalogue, identifier, "
+        f"cast(count(*) AS bigint) AS n_occurrences "
+        f"FROM datasets GROUP BY identifier HAVING count(*) > 1"
+    ),
+    "total_resolution": _oracle_split_suffix(
+        f", doc_of AS (SELECT DISTINCT subj, doc_id FROM cleaned "
+        f"  WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_DATASET}'),"
+        f"ds_docs AS (SELECT d.subj, o.doc_id FROM datasets d "
+        f"  JOIN doc_of o ON o.subj = d.subj),"
+        f"actual AS (SELECT doc_id, count(*) AS n FROM ds_docs GROUP BY doc_id),"
+        f"totals AS ({DOC_TOTALS_SQL}) "
+        f"SELECT DISTINCT dd.doc_id, "
+        f"cast(CASE WHEN t.hydra_total > 0 THEN t.hydra_total ELSE a.n END "
+        f"AS bigint) AS total "
+        f"FROM ds_docs dd LEFT JOIN totals t ON t.doc_id = dd.doc_id "
+        f"LEFT JOIN actual a ON a.doc_id = dd.doc_id"
+    ),
+    "canonical_hash": _oracle_split_suffix(
+        f"SELECT dataset_id, sha256(string_agg({sql_nt_line()}, chr(10) "
+        f"ORDER BY {sql_nt_line()})) AS content_hash "
+        f"FROM final_triples GROUP BY dataset_id"
+    ),
+    "doc_mentions": (
+        MENTIONS_CTE + "SELECT doc_id, alias, "
+        "cast(mention_pos AS bigint) AS mention_pos FROM mentions"
+    ),
+    "doc_entity_links": (
+        MENTIONS_CTE
+        + f", gaz AS ({GAZ_VALUES_SQL}), "
+        "cand AS (SELECT m.doc_id, m.mention_pos, m.alias, g.entity_uri, "
+        "  g.prior, row_number() OVER (PARTITION BY m.doc_id, m.mention_pos "
+        "  ORDER BY g.prior DESC, g.entity_uri ASC) AS rk "
+        "  FROM mentions m JOIN gaz g ON g.alias = m.alias) "
+        "SELECT doc_id, cast(mention_pos AS bigint) AS mention_pos, alias, "
+        "entity_uri, prior AS score FROM cand WHERE rk = 1"
+    ),
+    "doc_kg_triples": (
+        MENTIONS_CTE
+        + f", gaz AS ({GAZ_VALUES_SQL}), "
+        "cand AS (SELECT m.doc_id, m.mention_pos, g.entity_uri, "
+        "  row_number() OVER (PARTITION BY m.doc_id, m.mention_pos "
+        "  ORDER BY g.prior DESC, g.entity_uri ASC) AS rk "
+        "  FROM mentions m JOIN gaz g ON g.alias = m.alias) "
+        "SELECT DISTINCT '<urn:kg:turn:doc-' || doc_id || ':0> "
+        "<urn:kg:pred:mentions> <' || entity_uri || '> .' AS line "
+        "FROM cand WHERE rk = 1"
+    ),
+    "exact_dedup_docs": (
+        "WITH h AS (SELECT doc_id AS id, md5(text) AS m FROM documents), "
+        "reps AS (SELECT m, min(id) AS rep_id FROM h GROUP BY m) "
+        "SELECT h.id, r.rep_id FROM h JOIN reps r ON r.m = h.m"
+    ),
+    "minhash_signatures": _SHINGLES_CTE + _SIG_SELECT,
+    "minhash_lsh_pairs": (
+        _SHINGLES_CTE
+        + f", sig AS ({_SIG_SELECT}), "
+        "banded AS ("
+        "  SELECT id, 0 AS band_idx, mh0||'|'||mh1 AS band_key FROM sig "
+        "  UNION ALL SELECT id, 1, mh2||'|'||mh3 FROM sig "
+        "  UNION ALL SELECT id, 2, mh4||'|'||mh5 FROM sig), "
+        "cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
+        "  JOIN banded r ON l.band_idx = r.band_idx "
+        "  AND l.band_key = r.band_key AND l.id < r.id), "
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c "
+        "  JOIN sh a ON a.id = c.id_a "
+        "  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle "
+        "  GROUP BY c.id_a, c.id_b), "
+        "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id) "
+        "SELECT i.id_a, i.id_b, "
+        "i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard "
+        "FROM inter i JOIN sizes sa ON sa.id = i.id_a "
+        "JOIN sizes sb ON sb.id = i.id_b "
+        "WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5"
+    ),
+    "token_counts": (
+        "SELECT doc_id, "
+        "cast(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END AS bigint) "
+        "AS ws_tokens, "
+        f"cast(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS bigint) "
+        "AS bpe_tokens FROM documents"
+    ),
+    "lang_id": (
+        f"SELECT doc_id, {_sql_lang_id('text')} AS lang_pred FROM documents"
+    ),
+    "quality": (
+        "WITH f AS (SELECT doc_id, text, "
+        "  length(text) AS n_chars, "
+        "  CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "  len(string_split_regex(trim(text), '\\s+')) END AS n_tokens, "
+        "  length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) "
+        "  AS n_punct, "
+        + _sql_marker_hits("text", LANG_MARKERS["en"])
+        + " AS stop_hits, "
+        "  length(regexp_replace(text, '\\s+', '', 'g')) AS n_nospace "
+        "FROM documents), "
+        "r AS (SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens, "
+        "  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END "
+        "  AS punct_ratio, "
+        "  CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END "
+        "  AS stopword_ratio, "
+        "  CASE WHEN n_tokens > 0 THEN n_nospace / n_tokens ELSE 0.0 END "
+        "  AS mean_word_len FROM f) "
+        "SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_word_len, "
+        "least(n_tokens / 100.0, 1.0) * 0.25 "
+        "+ (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 "
+        "+ least(stopword_ratio * 5, 1.0) * 0.25 "
+        "+ (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 "
+        "   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality_score FROM r"
+    ),
+    "fingerprints": (
+        "WITH g AS (SELECT id, pos, md5(substring(t, pos, 7)) AS gram_hash "
+        "FROM (SELECT doc_id AS id, t, "
+        "  unnest(range(1, greatest(length(t)-6, 1)+1)) AS pos "
+        "  FROM (SELECT doc_id, "
+        "    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t "
+        "    FROM documents))) "
+        "SELECT DISTINCT id, min(gram_hash) OVER ("
+        "PARTITION BY id ORDER BY pos "
+        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM g"
+    ),
+    "cosine_topk": (
+        "WITH v AS (SELECT vec_id, "
+        "  list_transform(embedding, x -> cast(floor(x*1000) AS bigint)) "
+        "  AS qv FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id < 8), "
+        "s AS (SELECT q.query_id, v.vec_id, "
+        "  list_dot_product(q.qq, v.qv) / "
+        "  sqrt(list_dot_product(q.qq, q.qq) * list_dot_product(v.qv, v.qv)) "
+        "  AS cosine_sim FROM q CROSS JOIN v), "
+        "r AS (SELECT query_id, vec_id, cosine_sim, "
+        "  row_number() OVER (PARTITION BY query_id "
+        "  ORDER BY cosine_sim DESC, vec_id ASC) AS rnk FROM s) "
+        "SELECT query_id, vec_id, cosine_sim, cast(rnk AS bigint) AS rnk "
+        "FROM r WHERE rnk <= 10"
+    ),
+    "events_stable_order": (
+        "SELECT user_id, event_id, "
+        "cast(row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts ASC, event_id ASC) AS bigint) AS counter FROM events"
+    ),
+    "events_sessionize": (
+        "WITH w AS (SELECT user_id, event_id, "
+        "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER ("
+        "    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800 "
+        "  THEN 1 "
+        "  WHEN lag(epoch(ts)) OVER (PARTITION BY user_id "
+        "    ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 "
+        "  ELSE 0 END AS ns, ts FROM events) "
+        "SELECT user_id, event_id, "
+        "cast(sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, "
+        "event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS bigint) AS session_idx FROM w"
+    ),
+}
+
+
+SPARK_QUERIES = {
+    "nt_render": q_nt_render,
+    "dataset_subjects": q_dataset_subjects,
+    "identify_flags": q_identify_flags,
+    "split_datasets": q_split_datasets,
+    "dataset_counter": q_dataset_counter,
+    "manifest": q_manifest,
+    "duplicate_warnings": q_duplicate_warnings,
+    "total_resolution": q_total_resolution,
+    "canonical_hash": q_canonical_hash,
+    "doc_mentions": q_doc_mentions,
+    "doc_entity_links": q_doc_entity_links,
+    "doc_kg_triples": q_doc_kg_triples,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "quality": q_quality,
+    "fingerprints": q_fingerprints,
+    "cosine_topk": q_cosine_topk,
+    "events_stable_order": q_events_stable_order,
+    "events_sessionize": q_events_sessionize,
+}
