@@ -32,7 +32,7 @@ from ..vocab import KG_NS, RDF_TYPE, XSD_NS
 from .blocking import entity_similarity_edges
 from .cc import connected_components
 from .linking import explode_mentions, link_entities
-from .mentions import detect_mentions, extract_relations
+from .mentions import extract_mentions_and_relations
 
 PRED_MENTIONS = KG_NS + "pred:mentions"
 PRED_RELEASED = KG_NS + "pred:released"
@@ -80,9 +80,14 @@ def extract_candidate_triples(
     Output columns = TRIPLES_SCHEMA minus dataset_id (+ conv_id, turn_idx
     lineage).
     """
-    with_m = turns.withColumn(
-        "mentions", detect_mentions(F.col("text"), alias_list)
-    ).withColumn("rel", extract_relations(F.col("text"), alias_list))
+    with_m = (
+        turns.withColumn(
+            "_mr", extract_mentions_and_relations(F.col("text"), alias_list)
+        )
+        .withColumn("mentions", F.col("_mr.mentions"))
+        .withColumn("rel", F.col("_mr.rel"))
+        .drop("_mr")
+    )
 
     linked = link_entities(explode_mentions(with_m), aliases)
 
@@ -154,11 +159,33 @@ def extract_candidate_triples(
     return union.select("conv_id", "turn_idx", "t.*")
 
 
-def canonical_entity_map(aliases: DataFrame) -> DataFrame:
-    """``(entity_uri, canonical_id)`` via MinHash/LSH similarity + CC.
+def canonical_entity_map(
+    aliases: DataFrame, small_dim_threshold: int = 50_000
+) -> DataFrame:
+    """``(entity_uri, canonical_id)`` via similarity blocking + CC.
 
     canonical_id = lexicographic min URI of the merged component.
+
+    Two physical strategies, same semantics:
+
+    - **small dim** (≤ ``small_dim_threshold`` alias rows): the gazetteer is
+      broadcast-scale; a dozen Spark jobs of fixed overhead dwarf the work.
+      Collect once, compute exact shingle-Jaccard + union-find on the
+      driver. (Exact — a strict superset of what LSH recall gives.)
+    - **at scale**: MinHash/LSH blocking self-join + distributed CC
+      (``entity_similarity_edges`` + ``connected_components``) — never
+      materializes the pair space.
     """
+    spark = aliases.sparkSession
+    n = aliases.limit(small_dim_threshold + 1).count()
+    if n <= small_dim_threshold:
+        rows = aliases.select("entity_uri", "alias").collect()
+        mapping = _driver_canonical_map(
+            [(r.entity_uri, r.alias) for r in rows]
+        )
+        return spark.createDataFrame(
+            sorted(mapping.items()), "entity_uri string, canonical_id string"
+        )
     edges = entity_similarity_edges(aliases)
     comp = connected_components(edges)
     all_entities = aliases.select("entity_uri").distinct()
@@ -168,6 +195,73 @@ def canonical_entity_map(aliases: DataFrame) -> DataFrame:
         "entity_uri",
         F.coalesce("component", F.col("entity_uri")).alias("canonical_id"),
     )
+
+
+def _driver_canonical_map(
+    pairs: list[tuple[str, str]],
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> dict[str, str]:
+    """Exact driver-side twin of the distributed canonicalization.
+
+    Mirrors ``blocking.entity_profiles`` (legal-suffix normalization, sorted
+    deduped profile) + exact Jaccard at the same threshold + union-find.
+    """
+    import re
+    from collections import defaultdict
+
+    from .blocking import _LEGAL_SUFFIXES
+
+    profiles: dict[str, set[str]] = defaultdict(set)
+    for uri, alias in pairs:
+        norm = re.sub(r"\s+", " ", re.sub(_LEGAL_SUFFIXES, "", alias.lower())).strip()
+        if norm:
+            profiles[uri].add(norm)
+
+    shingles: dict[str, frozenset[str]] = {}
+    for uri, norms in profiles.items():
+        text = "|".join(sorted(norms))
+        if len(text) < shingle_n:
+            shingles[uri] = frozenset([text])
+        else:
+            shingles[uri] = frozenset(
+                text[i : i + shingle_n]
+                for i in range(len(text) - shingle_n + 1)
+            )
+
+    parent: dict[str, str] = {u: u for u, _ in pairs}
+
+    def find(x: str) -> str:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: str, b: str) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+
+    # inverted index: only compare entities sharing ≥1 shingle
+    by_shingle: dict[str, list[str]] = defaultdict(list)
+    for uri in sorted(shingles):
+        for s in shingles[uri]:
+            by_shingle[s].append(uri)
+    seen: set[tuple[str, str]] = set()
+    for bucket in by_shingle.values():
+        for i, a in enumerate(bucket):
+            for b in bucket[i + 1 :]:
+                key = (a, b) if a < b else (b, a)
+                if key in seen:
+                    continue
+                seen.add(key)
+                sa, sb = shingles[a], shingles[b]
+                jac = len(sa & sb) / len(sa | sb)
+                if jac >= threshold:
+                    union(a, b)
+
+    return {u: find(u) for u in parent}
 
 
 def rewrite_canonical(triples: DataFrame, canon: DataFrame) -> DataFrame:

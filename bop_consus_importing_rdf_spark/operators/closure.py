@@ -43,9 +43,15 @@ def reachable_closure(
 
     Returns ``(root, node, *scope_cols)`` including the seeds themselves.
     """
+    from functools import reduce
+
     scope = list(scope_cols)
-    visited = seeds.select("root", "node", *scope).distinct().localCheckpoint()
-    frontier = visited
+    first = seeds.select("root", "node", *scope).distinct().localCheckpoint()
+    # visited = lazy union of per-iteration checkpointed frontiers — never
+    # re-materialized as a whole (the old union+checkpoint per iteration
+    # rewrote O(V) rows every round, turning O(E·d) work into O(V·d²))
+    pieces = [first]
+    frontier = first
     for _ in range(max_iters):
         cond = [frontier["node"] == triples["subj"]]
         cond += [frontier[c] == triples[c] for c in scope]
@@ -59,13 +65,14 @@ def reachable_closure(
             )
             .distinct()
         )
+        visited = reduce(lambda a, b: a.union(b), pieces)
         frontier = step.join(
             visited, ["root", "node", *scope], "left_anti"
         ).localCheckpoint()
         if frontier.isEmpty():
             break
-        visited = visited.union(frontier).localCheckpoint()
-    return visited
+        pieces.append(frontier)
+    return reduce(lambda a, b: a.union(b), pieces)
 
 
 def subgraph_triples(

@@ -13,6 +13,7 @@ anywhere — the dataset count can be billions.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -40,7 +41,15 @@ def split_datasets(
     - ``datasets``: ``(subj, identifier)`` — one row per non-blank-id,
       non-empty dataset (F3 + F4 applied).
     """
-    t = remove_lowercase_dataset_typo(triples)  # F1, before the scan
+    # F1 first (before the scan). Persist hash-partitioned on subj: the
+    # closure loop probes this side once per iteration, and a persisted
+    # partitioning on the join key means only the (small) frontier side
+    # shuffles each round (MEMORY_AND_DISK: spills instead of OOM at scale)
+    t = (
+        remove_lowercase_dataset_typo(triples)
+        .repartition(F.col("subj"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     subjects = dataset_subjects(t)  # F2
     named = drop_blank_identifiers(  # X1 + F3
@@ -50,34 +59,46 @@ def split_datasets(
     # J1: one closure for every dataset at once
     seeds = named.select(F.col("subj").alias("root"), F.col("subj").alias("node"))
     closure = reachable_closure(t, seeds)
-    ds_triples = subgraph_triples(t, closure, root_alias="dataset_id")
+    ds_triples = (
+        subgraph_triples(t, closure, root_alias="dataset_id")
+        .repartition(F.col("dataset_id"), F.col("subj"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
-    # J3: nested-catalogue subtraction, scoped inside each dataset's model.
-    # The dataset resource itself is never subtracted even if (mis)typed
-    # dcat:Catalog — the reference iterates catalogue resources of the
-    # *extracted* model and removing the root would void the dataset.
-    cat_seeds = (
+    # J3: nested-catalogue subtraction. The dataset resource itself is never
+    # subtracted even if (mis)typed dcat:Catalog — the reference iterates
+    # catalogue resources of the *extracted* model and removing the root
+    # would void the dataset.
+    #
+    # The reference computes the catalogue subgraph WITHIN each dataset's
+    # model (Flows.kt:117-121). A dataset's node set is forward-closed
+    # (its model holds every statement whose subject is reachable), so the
+    # within-model closure of a catalogue node equals its GLOBAL closure —
+    # one tiny-seeded closure over t replaces a scoped closure over the
+    # (×Datasets larger) tagged triple set.
+    cat_in_ds = (
         ds_triples.filter(
             (F.col("pred") == RDF_TYPE)
             & (F.col("obj_value") == DCAT_CATALOG)
             & (F.col("subj") != F.col("dataset_id"))
         )
-        .select(
-            F.col("subj").alias("root"),
-            F.col("subj").alias("node"),
-            "dataset_id",
-        )
+        .select("dataset_id", F.col("subj").alias("cat_root"))
         .distinct()
     )
-    if not cat_seeds.isEmpty():
-        cat_closure = reachable_closure(
-            ds_triples, cat_seeds, scope_cols=("dataset_id",)
-        )
-        cat_subjects = cat_closure.select(
-            "dataset_id", F.col("node").alias("subj")
+    if not cat_in_ds.isEmpty():
+        cat_seeds = cat_in_ds.select(
+            F.col("cat_root").alias("root"), F.col("cat_root").alias("node")
         ).distinct()
+        cat_closure = reachable_closure(t, cat_seeds)
+        removal = (
+            cat_in_ds.join(
+                cat_closure, cat_in_ds["cat_root"] == cat_closure["root"]
+            )
+            .select("dataset_id", F.col("node").alias("subj"))
+            .distinct()
+        )
         ds_triples = ds_triples.join(
-            cat_subjects, ["dataset_id", "subj"], "left_anti"
+            removal, ["dataset_id", "subj"], "left_anti"
         )
 
     # F4: drop datasets whose model ended up empty

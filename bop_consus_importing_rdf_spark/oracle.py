@@ -428,24 +428,27 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import char_shingles, minhash_signature
+    # word 3-grams, not char shingles: the documents corpus is word-salad
+    # over a tiny vocabulary, so char-5 shingle sets are near-identical
+    # across ALL docs and LSH would (correctly) return the cross product
+    from .operators.dedup import minhash_signature, word_ngrams
     from .sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signature(char_shingles(docs, "doc_id", "text", 5), k=6)
+    return minhash_signature(word_ngrams(docs, "doc_id", "text", 3), k=6)
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import (
-        char_shingles,
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signature,
+        word_ngrams,
     )
     from .sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", 5)
+    sh = word_ngrams(docs, "doc_id", "text", 3)
     sig = minhash_signature(sh, k=6)
     cand = lsh_candidate_pairs(sig, bands=3, rows_per_band=2)
     return jaccard_pairs(cand, sh, threshold=0.5)
@@ -576,11 +579,13 @@ def _oracle_split_suffix(select: str) -> str:
 
 _SHINGLES_CTE = """
 WITH sh AS (
-  SELECT DISTINCT id, substring(t, pos, 5) AS shingle
+  SELECT DISTINCT id, array_to_string(w[pos:pos+2], ' ') AS shingle
   FROM (
-    SELECT doc_id AS id, lower(text) AS t,
-           unnest(range(1, greatest(length(text)-4, 1)+1)) AS pos
-    FROM documents
+    SELECT id, w, unnest(range(1, greatest(len(w)-2, 1)+1)) AS pos
+    FROM (
+      SELECT doc_id AS id, string_split_regex(lower(text), '\\s+') AS w
+      FROM documents
+    )
   )
 )
 """

@@ -84,6 +84,20 @@ def test_entity_similarity_merges_near_dups_only(spark, aliases):
     assert pairs == expected  # exactly the minted near-dup pairs, no more
 
 
+def test_canonical_map_small_dim_matches_distributed(spark, aliases):
+    """The driver union-find fast path and the MinHash/LSH + CC scale path
+    must produce the same map on the fixture."""
+    fast = {
+        r.entity_uri: r.canonical_id
+        for r in canonical_entity_map(aliases).collect()
+    }
+    dist = {
+        r.entity_uri: r.canonical_id
+        for r in canonical_entity_map(aliases, small_dim_threshold=0).collect()
+    }
+    assert fast == dist
+
+
 def test_canonical_map_idempotent_for_singletons(spark, aliases):
     canon = canonical_entity_map(aliases)
     m = {r.entity_uri: r.canonical_id for r in canon.collect()}
