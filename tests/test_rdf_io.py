@@ -1,0 +1,74 @@
+"""S1/S3/S4/S5: gzip source read, pre-processing, N-Triples parse round-trip."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+from bop_consus_importing_rdf_spark.sources.rdf_io import (
+    parse_ntriples,
+    pre_process,
+    read_rdf_source,
+)
+
+from .conftest import triples_df
+
+ROUNDTRIP_ROWS = [
+    ("urn:s", "urn:p", "urn:o", "iri"),
+    ("_:b0", "urn:p", "_:b1", "bnode"),
+    ("urn:s", "urn:p", 'esc"ape\\me\nnow\ttab', "literal"),
+    ("urn:s", "urn:p", "hallo", "literal", "de"),
+    ("urn:s", "urn:p", "42", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("urn:s", "urn:p", "naïve ünïcode", "literal"),
+]
+
+KEY = ["subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"]
+
+
+def _render(spark):
+    df = triples_df(spark, ROUNDTRIP_ROWS)
+    return df, df.select(
+        nt_line(*[F.col(c) for c in KEY]).alias("value")
+    )
+
+
+def test_parse_render_roundtrip(spark):
+    original, lines = _render(spark)
+    parsed = parse_ntriples(lines)
+    assert parsed.select(KEY).exceptAll(original.select(KEY)).count() == 0
+    assert original.select(KEY).exceptAll(parsed.select(KEY)).count() == 0
+
+
+def test_parse_skips_comments_blank_and_malformed(spark):
+    lines = spark.createDataFrame(
+        [("# comment",), ("",), ("  ",), ("not a triple at all",),
+         ("<urn:s> <urn:p> <urn:o> .",)],
+        "value string",
+    )
+    out = parse_ntriples(lines)
+    assert out.count() == 1
+    kept = parse_ntriples(lines, keep_malformed=True)
+    assert kept.count() == 2  # malformed row retained with null kind
+    assert kept.filter(F.col("obj_kind").isNull()).count() == 1
+
+
+def test_gzip_source_transparent(spark, tmp_path):
+    p = tmp_path / "doc.nt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('<urn:a> <urn:p> "x" .\n<urn:b> <urn:p> <urn:c> .\n')
+    df = read_rdf_source(spark, str(p))
+    parsed = parse_ntriples(df)
+    assert parsed.count() == 2
+    assert {r.subj for r in parsed.collect()} == {"urn:a", "urn:b"}
+
+
+def test_pre_process_fixes(spark):
+    lines = spark.createDataFrame(
+        [("﻿<urn:a b c> <urn:p> \x01\"v\" .",)], "value string"
+    )
+    fixed = lines.select(pre_process(F.col("value")).alias("value"))
+    got = fixed.collect()[0].value
+    assert got == '<urn:a%20b%20c> <urn:p> "v" .'
