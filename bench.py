@@ -36,6 +36,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n-conv", type=int, default=None,
+                    help="override synthetic conversation count")
+    ap.add_argument("--warmup", action="store_true",
+                    help="run a small pipeline first so Python workers / "
+                         "codegen spin-up is excluded from timings")
     args = ap.parse_args()
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,11 +65,15 @@ def main() -> None:
         f"select count(*) from '{sf_dir}/lineitem.parquet'"
     ).fetchone()[0]
     # sf0.1 (600k lineitems) → 20k conversations ≈ 240k turns (FIXTURES.md)
-    n_conv = max(200, n_li // 30)
+    n_conv = args.n_conv or max(200, n_li // 30)
 
     aliases = alias_table(spark)
     transcripts = synth_transcripts(spark, n_conv=n_conv, seed=42).cache()
     n_turns = transcripts.count()  # also warms the cache
+
+    if args.warmup:
+        small = synth_transcripts(spark, n_conv=200, seed=1)
+        materialize(build_kg(spark, small, aliases)["triples"])
 
     def bench_kg_pipeline():
         materialize(build_kg(spark, transcripts, aliases)["triples"])

@@ -31,7 +31,6 @@ from ..operators.manifest import with_counter
 from ..vocab import KG_NS, RDF_TYPE, XSD_NS
 from .blocking import entity_similarity_edges
 from .cc import connected_components
-from .linking import explode_mentions, link_entities
 from .mentions import extract_mentions_and_relations
 
 PRED_MENTIONS = KG_NS + "pred:mentions"
@@ -72,91 +71,81 @@ def salted_repartition(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(F.col("conv_id"), salt)
 
 
+def best_alias_map(aliases: DataFrame) -> dict[str, str]:
+    """alias → best entity (argmax prior, deterministic tie-break).
+
+    The gazetteer is a broadcast-scale dimension; resolving the argmax once
+    on the driver and shipping it as a literal MapType beats a join + window
+    over every mention occurrence (the score depends only on the alias, so
+    per-occurrence disambiguation is a pure lookup)."""
+    best: dict[str, tuple[float, str]] = {}
+    for r in aliases.collect():
+        cur = best.get(r.alias)
+        cand = (-r.prior, r.entity_uri)
+        if cur is None or cand < cur:
+            best[r.alias] = cand
+    return {a: e for a, (_, e) in best.items()}
+
+
 def extract_candidate_triples(
     turns: DataFrame, aliases: DataFrame, alias_list: list[str]
 ) -> DataFrame:
     """Per-turn triple extraction: mention, relation, year, text, type rows.
 
+    ONE narrow pass: the fused UDF computes mentions+relation, entity
+    linking is a literal-map lookup, and all five triple kinds are built as
+    an array per turn and exploded — no union (which would recompute the
+    UDF subtree per branch), no join, no shuffle anywhere in this stage.
+
     Output columns = TRIPLES_SCHEMA minus dataset_id (+ conv_id, turn_idx
     lineage).
     """
-    with_m = (
-        turns.withColumn(
-            "_mr", extract_mentions_and_relations(F.col("text"), alias_list)
-        )
-        .withColumn("mentions", F.col("_mr.mentions"))
-        .withColumn("rel", F.col("_mr.rel"))
-        .drop("_mr")
+    best = best_alias_map(aliases)
+    entity_of = F.create_map(
+        *[F.lit(x) for kv in sorted(best.items()) for x in kv]
     )
-
-    linked = link_entities(explode_mentions(with_m), aliases)
 
     def _row(subj, pred, obj, kind, lang=None, dt=None):
         return F.struct(
-            subj.alias("subj"),
-            F.lit(pred).alias("pred"),
-            obj.alias("obj_value"),
-            F.lit(kind).alias("obj_kind"),
-            (F.lit(lang).cast("string")).alias("obj_lang"),
-            (F.lit(dt).cast("string")).alias("obj_datatype"),
+            subj.cast("string").alias("subj"),
+            F.lit(pred).cast("string").alias("pred"),
+            obj.cast("string").alias("obj_value"),
+            F.lit(kind).cast("string").alias("obj_kind"),
+            F.lit(lang).cast("string").alias("obj_lang"),
+            F.lit(dt).cast("string").alias("obj_datatype"),
         )
 
     turn_uri = _turn_uri()
-    mention_triples = linked.select(
-        "conv_id",
-        "turn_idx",
-        _row(turn_uri, PRED_MENTIONS, F.col("entity_uri"), "iri").alias("t"),
+    with_m = turns.withColumn(
+        "_mr", extract_mentions_and_relations(F.col("text"), alias_list)
     )
-
-    # alias → best entity (argmax prior, deterministic tie-break); tiny dim
-    best = (
-        aliases.withColumn(
-            "_rk",
-            F.row_number().over(
-                Window.partitionBy("alias").orderBy(
-                    F.col("prior").desc(), F.col("entity_uri").asc()
-                )
+    mention_structs = F.transform(
+        F.col("_mr.mentions"),
+        lambda m: _row(turn_uri, PRED_MENTIONS, entity_of[m], "iri"),
+    )
+    rel = F.col("_mr.rel")
+    _struct_arr_type = (
+        "array<struct<subj:string,pred:string,obj_value:string,"
+        "obj_kind:string,obj_lang:string,obj_datatype:string>>"
+    )
+    rel_structs = F.when(
+        rel["subj_alias"].isNotNull(),
+        F.array(
+            _row(
+                entity_of[rel["subj_alias"]], PRED_RELEASED,
+                entity_of[rel["obj_alias"]], "iri",
             ),
-        )
-        .filter(F.col("_rk") == 1)
-        .select("alias", "entity_uri")
+            _row(turn_uri, PRED_IN_YEAR, rel["year"], "literal", dt=XSD_GYEAR),
+        ),
+    ).otherwise(F.array().cast(_struct_arr_type))
+    fixed_structs = F.array(
+        _row(turn_uri, PRED_TEXT, F.col("text"), "literal"),
+        _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri"),
     )
-    rel_rows = (
-        with_m.filter(F.col("rel.subj_alias").isNotNull())
-        .join(
-            F.broadcast(best.withColumnRenamed("alias", "_sa").withColumnRenamed("entity_uri", "_se")),
-            F.col("rel.subj_alias") == F.col("_sa"),
-        )
-        .join(
-            F.broadcast(best.withColumnRenamed("alias", "_oa").withColumnRenamed("entity_uri", "_oe")),
-            F.col("rel.obj_alias") == F.col("_oa"),
-        )
-    )
-    relation_triples = rel_rows.select(
-        "conv_id",
-        "turn_idx",
-        _row(F.col("_se"), PRED_RELEASED, F.col("_oe"), "iri").alias("t"),
-    )
-    year_triples = rel_rows.select(
-        "conv_id",
-        "turn_idx",
-        _row(turn_uri, PRED_IN_YEAR, F.col("rel.year"), "literal", dt=XSD_GYEAR).alias("t"),
-    )
-    text_triples = turns.select(
-        "conv_id",
-        "turn_idx",
-        _row(turn_uri, PRED_TEXT, F.col("text"), "literal").alias("t"),
-    )
-    type_triples = turns.select(
-        "conv_id",
-        "turn_idx",
-        _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri").alias("t"),
-    )
-
-    union = mention_triples
-    for part in (relation_triples, year_triples, text_triples, type_triples):
-        union = union.unionByName(part)
-    return union.select("conv_id", "turn_idx", "t.*")
+    all_structs = F.concat(mention_structs, rel_structs, fixed_structs)
+    return with_m.select(
+        "conv_id", "turn_idx", F.explode(all_structs).alias("t")
+    ).select("conv_id", "turn_idx", "t.*")
 
 
 def canonical_entity_map(
@@ -302,7 +291,13 @@ def build_kg(
     """Run the full DAG. Returns {triples, entities, datasets, manifest}."""
     alias_list = [r.alias for r in aliases.select("alias").distinct().collect()]
 
-    turns = salted_repartition(stable_turns(transcripts), salt_partitions)
+    # stable_turns already shuffles on the fine-grained (conv_id, turn_idx)
+    # key, which spreads hot conversations across partitions; an extra
+    # salted repartition only pays when a caller asks for a specific
+    # parallelism before the (narrow) extraction stage
+    turns = stable_turns(transcripts)
+    if salt_partitions:
+        turns = salted_repartition(turns, salt_partitions)
     cand = extract_candidate_triples(turns, aliases, alias_list)
     canon = canonical_entity_map(aliases)
     triples = rewrite_canonical(cand, canon).withColumn(
