@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""spark-submit entry point (north rule: ``spark-submit --py-files``).
+
+    zip -r pipeline.zip bop_consus_importing_rdf_spark
+    spark-submit --py-files pipeline.zip job.py \
+        --transcripts <parquet path or table> \
+        --aliases <parquet path>             \
+        --output /data/kg_out --catalogue my-corpus --n-buckets 64
+
+Replaces the reference's ``POST /pipe`` ingress (``ImportingRdfVerticle``):
+the pipe config surface (catalogue, removePrefix, precedenceUriRef,
+outputFormat fixed to N-Triples) becomes CLI flags; the run is resumable
+from the last committed conversation bucket.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+sys.path.insert(0, _REPO)
+# local-mode fallback so pandas-UDF workers can import the package without
+# --py-files; on a cluster, --py-files pipeline.zip takes precedence
+os.environ["PYTHONPATH"] = _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--transcripts", required=False, default=None,
+                    help="parquet path of the transcripts table; omit to "
+                         "run the deterministic synthetic corpus")
+    ap.add_argument("--aliases", default=None,
+                    help="parquet path of the alias gazetteer "
+                         "(alias, entity_uri, prior); default: built-in")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--catalogue", default="transcripts")
+    ap.add_argument("--n-buckets", type=int, default=16)
+    ap.add_argument("--synth-conv", type=int, default=1000,
+                    help="synthetic corpus size when --transcripts omitted")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from bop_consus_importing_rdf_spark.kg.synth import (
+        alias_table,
+        synth_transcripts,
+    )
+    from bop_consus_importing_rdf_spark.plans.resume import run_resumable
+
+    transcripts = (
+        spark.read.parquet(args.transcripts)
+        if args.transcripts
+        else synth_transcripts(spark, n_conv=args.synth_conv)
+    )
+    aliases = (
+        spark.read.parquet(args.aliases) if args.aliases else alias_table(spark)
+    )
+
+    t0 = time.perf_counter()
+    n = run_resumable(
+        spark, transcripts, aliases, args.output, n_buckets=args.n_buckets
+    )
+    print(
+        f"run finished: {n} buckets committed in "
+        f"{time.perf_counter() - t0:.1f}s → {args.output}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -23,7 +23,8 @@ REPO = Path(__file__).resolve().parents[1]
 
 
 def run_once(cpus: int, sf_dir: str, n_conv: int) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus))
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
+               SPARK_DRIVER_MEM="48g")
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py"), "--only", "kg_pipeline",
          "--cpus", str(cpus), "--n-conv", str(n_conv), "--warmup"],
@@ -40,8 +41,8 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=1)
     # large enough that parallel compute dominates fixed per-job overhead —
     # scaling measurements on tiny inputs measure scheduler latency, not
-    # the pipeline (Amdahl)
-    ap.add_argument("--n-conv", type=int, default=100_000)
+    # the pipeline (Amdahl: driver-side fixed cost ~8s amortizes at scale)
+    ap.add_argument("--n-conv", type=int, default=1_200_000)
     args = ap.parse_args()
 
     results: dict[int, dict] = {}
