@@ -555,10 +555,17 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
-    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
-    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    # timestampdiff = pure calendar arithmetic on the TZ-less timestamps —
+    # immune to whatever session timezone the caller's SparkSession has
+    # (unix_timestamp(timestamp_ntz) is session-TZ-dependent across DST).
+    # MICROSECOND granularity: the fixture timestamps carry sub-second
+    # precision, so a seconds-truncating gap would disagree with the oracle
+    # at the 1800s boundary.
+    gap = F.expr("timestampdiff(MICROSECOND, _prev_ts, ts)")
+    new_session = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     return (
-        ev.withColumn("_ns", new_session)
+        ev.withColumn("_prev_ts", F.lag("ts").over(w))
+        .withColumn("_ns", new_session)
         .withColumn(
             "session_idx",
             F.sum("_ns").over(
@@ -783,10 +790,10 @@ ORACLES: dict[str, str] = {
     ),
     "events_sessionize": (
         "WITH w AS (SELECT user_id, event_id, "
-        "  CASE WHEN epoch(ts) - lag(epoch(ts)) OVER ("
-        "    PARTITION BY user_id ORDER BY ts ASC, event_id ASC) > 1800 "
-        "  THEN 1 "
-        "  WHEN lag(epoch(ts)) OVER (PARTITION BY user_id "
+        "  CASE WHEN date_diff('microsecond', lag(ts) OVER ("
+        "    PARTITION BY user_id ORDER BY ts ASC, event_id ASC), ts) "
+        "    > 1800000000 THEN 1 "
+        "  WHEN lag(ts) OVER (PARTITION BY user_id "
         "    ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 "
         "  ELSE 0 END AS ns, ts FROM events) "
         "SELECT user_id, event_id, "
