@@ -142,7 +142,12 @@ def extract_candidate_triples(
         _row(turn_uri, PRED_TEXT, F.col("text"), "literal"),
         _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri"),
     )
-    all_structs = F.concat(mention_structs, rel_structs, fixed_structs)
+    # per-turn dedup BEFORE the explode: repeated same-entity mentions in a
+    # turn collapse narrowly (no shuffle), shrinking what the conv-level
+    # dedup shuffle has to move
+    all_structs = F.array_distinct(
+        F.concat(mention_structs, rel_structs, fixed_structs)
+    )
     return with_m.select(
         "conv_id", "turn_idx", F.explode(all_structs).alias("t")
     ).select("conv_id", "turn_idx", "t.*")
@@ -276,9 +281,13 @@ def rewrite_canonical(triples: DataFrame, canon: DataFrame) -> DataFrame:
         )
         .drop("_cs", "_co")
     )
-    return out.dropDuplicates(
-        ["conv_id", "subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"]
-    )
+    # conv-level statement dedup (Jena models are statement SETS — SURVEY
+    # §1.1). A min-agg instead of dropDuplicates: same shuffle, but the
+    # surviving turn_idx lineage is deterministic (dropDuplicates keeps an
+    # arbitrary row) and partial aggregation combines map-side.
+    key = ["conv_id", "subj", "pred", "obj_value", "obj_kind", "obj_lang",
+           "obj_datatype"]
+    return out.groupBy(*key).agg(F.min("turn_idx").alias("turn_idx"))
 
 
 def build_kg(
