@@ -51,14 +51,24 @@ def _conv_uri(col: str = "conv_id") -> F.Column:
 
 def stable_turns(transcripts: DataFrame) -> DataFrame:
     """Stable turn ordering (input_hint invariant): dedupe any accidental
-    (conv_id, turn_idx) double-delivery deterministically, then order."""
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
-        F.col("ts").asc_nulls_last(), F.col("text").asc_nulls_last()
+    (conv_id, turn_idx) double-delivery deterministically, then order.
+
+    Partitions by ``conv_id`` ONLY (turn dedup via lag over the in-conv
+    sort) — so this is the single wide shuffle of the whole extraction
+    path: the downstream conv-keyed dedup aggregation and per-conversation
+    payload aggregation both satisfy their clustering requirement from
+    this partitioning and run exchange-free.
+    """
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("turn_idx").asc(),
+        F.col("ts").asc_nulls_last(),
+        F.col("text").asc_nulls_last(),
     )
+    prev = F.lag("turn_idx").over(w)
     return (
-        transcripts.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        transcripts.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("turn_idx")))
+        .drop("_prev")
     )
 
 
@@ -142,12 +152,10 @@ def extract_candidate_triples(
         _row(turn_uri, PRED_TEXT, F.col("text"), "literal"),
         _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri"),
     )
-    # per-turn dedup BEFORE the explode: repeated same-entity mentions in a
-    # turn collapse narrowly (no shuffle), shrinking what the conv-level
-    # dedup shuffle has to move
-    all_structs = F.array_distinct(
-        F.concat(mention_structs, rel_structs, fixed_structs)
-    )
+    # NOTE: no array_distinct here — struct-array equality is interpreted
+    # (2.4× slower than the explode it would save); the conv-level dedup
+    # aggregation absorbs the duplicates map-side instead
+    all_structs = F.concat(mention_structs, rel_structs, fixed_structs)
     return with_m.select(
         "conv_id", "turn_idx", F.explode(all_structs).alias("t")
     ).select("conv_id", "turn_idx", "t.*")
