@@ -21,6 +21,7 @@ cannot pin a partition.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -97,68 +98,103 @@ def best_alias_map(aliases: DataFrame) -> dict[str, str]:
     return {a: e for a, (_, e) in best.items()}
 
 
+_STRUCT_ARR_TYPE = (
+    "array<struct<subj:string,pred:string,obj_value:string,"
+    "obj_kind:string,obj_lang:string,obj_datatype:string>>"
+)
+
+
+def _row(subj, pred, obj, kind, lang=None, dt=None):
+    return F.struct(
+        subj.cast("string").alias("subj"),
+        F.lit(pred).cast("string").alias("pred"),
+        obj.cast("string").alias("obj_value"),
+        F.lit(kind).cast("string").alias("obj_kind"),
+        F.lit(lang).cast("string").alias("obj_lang"),
+        F.lit(dt).cast("string").alias("obj_datatype"),
+    )
+
+
 def extract_candidate_triples(
-    turns: DataFrame, aliases: DataFrame, alias_list: list[str]
+    turns: DataFrame,
+    aliases: DataFrame,
+    alias_list: list[str],
+    entity_map: dict[str, str] | None = None,
 ) -> DataFrame:
     """Per-turn triple extraction: mention, relation, year, text, type rows.
 
-    ONE narrow pass: the fused UDF computes mentions+relation, entity
-    linking is a literal-map lookup, and all five triple kinds are built as
-    an array per turn and exploded — no union (which would recompute the
-    UDF subtree per branch), no join, no shuffle anywhere in this stage.
+    Dedup-by-construction, shuffle-minimal:
 
-    Output columns = TRIPLES_SCHEMA minus dataset_id (+ conv_id, turn_idx
-    lineage).
+    - text/type/year/mention triples have the TURN URI (or a per-turn
+      unique key) as subject, so they cannot duplicate across turns —
+      emitted narrowly (mention duplicates within a turn collapse with an
+      ``array_distinct`` over the *string* entity array, which is cheap;
+      struct-array equality is interpreted and 2.4× slower).
+    - only relation triples (entity-subject) can repeat across a
+      conversation's turns → they alone pay the conv-level dedup shuffle,
+      a few % of the bytes.
+
+    ``entity_map`` (alias → entity URI) defaults to the prior-argmax map;
+    ``build_kg`` passes the CANONICALIZED composition so no rewrite join is
+    needed afterwards.
     """
-    best = best_alias_map(aliases)
+    entity_map = entity_map or best_alias_map(aliases)
     entity_of = F.create_map(
-        *[F.lit(x) for kv in sorted(best.items()) for x in kv]
+        *[F.lit(x) for kv in sorted(entity_map.items()) for x in kv]
     )
-
-    def _row(subj, pred, obj, kind, lang=None, dt=None):
-        return F.struct(
-            subj.cast("string").alias("subj"),
-            F.lit(pred).cast("string").alias("pred"),
-            obj.cast("string").alias("obj_value"),
-            F.lit(kind).cast("string").alias("obj_kind"),
-            F.lit(lang).cast("string").alias("obj_lang"),
-            F.lit(dt).cast("string").alias("obj_datatype"),
-        )
 
     turn_uri = _turn_uri()
+    # persisted: the per-turn branch and the relation branch both scan this
+    # — without persistence the Arrow UDF subtree would execute twice
+    # (MEMORY_AND_DISK: spills rather than OOMs; at cluster scale the
+    # resume layer's bucket parquet plays this role instead)
     with_m = turns.withColumn(
         "_mr", extract_mentions_and_relations(F.col("text"), alias_list)
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     mention_structs = F.transform(
-        F.col("_mr.mentions"),
-        lambda m: _row(turn_uri, PRED_MENTIONS, entity_of[m], "iri"),
+        F.array_distinct(
+            F.transform(F.col("_mr.mentions"), lambda m: entity_of[m])
+        ),
+        lambda e: _row(turn_uri, PRED_MENTIONS, e, "iri"),
     )
     rel = F.col("_mr.rel")
-    _struct_arr_type = (
-        "array<struct<subj:string,pred:string,obj_value:string,"
-        "obj_kind:string,obj_lang:string,obj_datatype:string>>"
-    )
-    rel_structs = F.when(
+    year_structs = F.when(
         rel["subj_alias"].isNotNull(),
         F.array(
-            _row(
-                entity_of[rel["subj_alias"]], PRED_RELEASED,
-                entity_of[rel["obj_alias"]], "iri",
-            ),
-            _row(turn_uri, PRED_IN_YEAR, rel["year"], "literal", dt=XSD_GYEAR),
+            _row(turn_uri, PRED_IN_YEAR, rel["year"], "literal", dt=XSD_GYEAR)
         ),
-    ).otherwise(F.array().cast(_struct_arr_type))
+    ).otherwise(F.array().cast(_STRUCT_ARR_TYPE))
     fixed_structs = F.array(
         _row(turn_uri, PRED_TEXT, F.col("text"), "literal"),
         _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri"),
     )
-    # NOTE: no array_distinct here — struct-array equality is interpreted
-    # (2.4× slower than the explode it would save); the conv-level dedup
-    # aggregation absorbs the duplicates map-side instead
-    all_structs = F.concat(mention_structs, rel_structs, fixed_structs)
-    return with_m.select(
-        "conv_id", "turn_idx", F.explode(all_structs).alias("t")
+    per_turn = with_m.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.concat(mention_structs, year_structs, fixed_structs)
+        ).alias("t"),
     ).select("conv_id", "turn_idx", "t.*")
+
+    rel_rows = (
+        with_m.filter(rel["subj_alias"].isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            entity_of[rel["subj_alias"]].alias("subj"),
+            F.lit(PRED_RELEASED).alias("pred"),
+            entity_of[rel["obj_alias"]].alias("obj_value"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+        .groupBy(
+            "conv_id", "subj", "pred", "obj_value", "obj_kind",
+            "obj_lang", "obj_datatype",
+        )
+        .agg(F.min("turn_idx").alias("turn_idx"))
+    )
+    return per_turn.unionByName(rel_rows)
 
 
 def canonical_entity_map(
@@ -308,18 +344,26 @@ def build_kg(
     """Run the full DAG. Returns {triples, entities, datasets, manifest}."""
     alias_list = [r.alias for r in aliases.select("alias").distinct().collect()]
 
-    # stable_turns already shuffles on the fine-grained (conv_id, turn_idx)
-    # key, which spreads hot conversations across partitions; an extra
-    # salted repartition only pays when a caller asks for a specific
-    # parallelism before the (narrow) extraction stage
+    # an extra salted repartition only pays when a caller wants a specific
+    # parallelism before the (narrow) extraction stage — stable_turns'
+    # conv_id shuffle already distributes the corpus
     turns = stable_turns(transcripts)
     if salt_partitions:
         turns = salted_repartition(turns, salt_partitions)
-    cand = extract_candidate_triples(turns, aliases, alias_list)
+
+    # canonicalization composes INTO the linking map (alias → canonical
+    # entity), so extraction emits canonical URIs directly and the
+    # post-hoc rewrite joins (rewrite_canonical) vanish from the hot path.
+    # Valid whenever the entity dictionary is broadcast-scale; a mined
+    # at-scale dictionary would instead keep the rewrite-join path.
     canon = canonical_entity_map(aliases)
-    triples = rewrite_canonical(cand, canon).withColumn(
-        "dataset_id", _conv_uri()
-    )
+    canon_map = {r.entity_uri: r.canonical_id for r in canon.collect()}
+    best = best_alias_map(aliases)
+    composed = {a: canon_map.get(e, e) for a, e in best.items()}
+
+    triples = extract_candidate_triples(
+        turns, aliases, alias_list, entity_map=composed
+    ).withColumn("dataset_id", _conv_uri())
 
     rendered = triples.withColumn(
         "nt",
