@@ -48,7 +48,7 @@ def main() -> None:
 
     from bop_consus_importing_rdf_spark.session import get_spark
 
-    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    spark = get_spark("bench", cores=cpus)  # shuffle partitions = 3× cores
     spark.sparkContext.setLogLevel("ERROR")
 
     from bop_consus_importing_rdf_spark.kg.pipeline import build_kg

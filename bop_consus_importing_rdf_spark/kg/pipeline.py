@@ -4,19 +4,26 @@ Replaces the reference's fixed dataflow (``pagesFlow`` → ``datasetsFlow`` →
 collect loop, reference ``ImportingRdfVerticle.kt:59-96``) with one Spark
 batch DAG:
 
-    transcripts ─ stable order ─ salted repartition ─ mention/relation UDFs
-      → candidate triples → entity canonicalization (MinHash→LSH→Jaccard→CC)
-      → canonical rewrite → dedup → datasets / manifest / N-Triples render
+    transcripts ─ stable order (ONE wide shuffle) ─ fused mention/relation
+      pandas UDF ─ map-lookup linking (canonicalization composed in:
+      MinHash→LSH→Jaccard→CC over the gazetteer) ─ per-turn triple arrays
+      exploded narrowly ─ relation-only conv-level dedup (small shuffle)
+      → datasets / manifest / N-Triples render
 
 Each *conversation* plays the role the reference gives a ``dcat:Dataset``:
 it gets an identifier, a counter, an N-Triples payload and a canonical hash,
 and the run ends with a manifest record per catalogue — semantics preserved
 from ``ImportingRdfVerticle.kt:84-96`` incl. duplicates-kept (J4).
 
-Scale: the only driver-side loop is the CC fixpoint (O(log d) iterations).
-The gazetteer joins are broadcast; the mention stage is Arrow-batched; the
-transcript shuffle is salted on (conv_id, turn-hash) so a hot conversation
-cannot pin a partition.
+Scale notes: the only driver-side loop is the CC fixpoint (O(log d)
+iterations, skipped for broadcast-scale dictionaries). The extraction path
+moves the corpus through exactly one wide shuffle (stable ordering) and one
+Arrow round-trip; only relation triples — the one kind that can duplicate
+across turns — pay a dedup shuffle. ``rewrite_canonical`` remains the
+at-scale path for entity dictionaries too large to compose into the
+linking map. Hot conversations spread across partitions because the
+stable-ordering shuffle keys are fine-grained; ``salted_repartition`` is
+available when a caller needs explicit spread before a conv-grouped stage.
 """
 
 from __future__ import annotations

