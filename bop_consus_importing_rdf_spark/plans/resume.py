@@ -59,8 +59,12 @@ def run_resumable(
     Returns the number of buckets processed this invocation.
     ``fail_after_bucket`` injects a crash after N commits (for tests).
     """
-    from ..kg.pipeline import build_kg
+    import uuid
 
+    from ..kg.pipeline import build_kg
+    from .lineage import stage_metrics, union_metrics
+
+    run_id = str(uuid.uuid4())
     todo = remaining_conversations(spark, transcripts, out_dir, n_buckets)
     buckets = sorted(
         r[BUCKET_COL]
@@ -71,11 +75,23 @@ def run_resumable(
     for b in buckets:
         part = todo.filter(F.col(BUCKET_COL) == b).drop(BUCKET_COL)
         out = build_kg(spark, part, aliases)
-        out["triples"].write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"triples/bucket={b}")
+        triples_path = os.path.join(out_dir, f"triples/bucket={b}")
+        out["triples"].write.mode("overwrite").parquet(triples_path)
+        # per-partition lineage rows for the bucket (north rule): counted
+        # over the COMMITTED parquet, so metrics describe what was durably
+        # written, not a recomputation
+        written = spark.read.parquet(triples_path)
+        metrics = union_metrics(
+            [
+                stage_metrics(part, run_id, f"bucket={b}/transcripts_in"),
+                stage_metrics(written, run_id, f"bucket={b}/triples_out"),
+            ]
         )
-        # the marker append IS the commit point: triples for bucket b are
-        # fully written before b is recorded
+        metrics.write.mode("append").parquet(
+            os.path.join(out_dir, "lineage_metrics")
+        )
+        # the marker append IS the commit point: triples + metrics for
+        # bucket b are fully written before b is recorded
         spark.createDataFrame([(b,)], "bucket int").write.mode("append").parquet(
             marker
         )

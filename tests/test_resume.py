@@ -37,8 +37,25 @@ def test_resume_after_partial_failure(spark, tmp_path):
     # a third run is a no-op (idempotent)
     assert run_resumable(spark, t, aliases, out_dir, n_buckets=4) == 0
 
+    # lineage: every committed bucket wrote per-partition metrics rows
+    metrics = spark.read.parquet(f"{out_dir}/lineage_metrics")
+    assert metrics.count() > 0
+    assert set(metrics.columns) == {
+        "run_id", "stage", "partition_id", "rows_out"
+    }
+    stages = {r.stage for r in metrics.select("stage").distinct().collect()}
+    assert any(s.endswith("triples_out") for s in stages)
+    assert any(s.endswith("transcripts_in") for s in stages)
+    # rows_out of the triples_out stages sums to the committed triple count
+    from pyspark.sql import functions as SF
+    total_out = (
+        metrics.filter(SF.col("stage").endswith("triples_out"))
+        .agg(SF.sum("rows_out")).collect()[0][0]
+    )
+
     # the union of bucket outputs covers every conversation exactly once
     triples = spark.read.parquet(f"{out_dir}/triples")
+    assert total_out == triples.count()
     convs = {r.conv_id for r in triples.select("conv_id").distinct().collect()}
     assert convs == {r.conv_id for r in t.select("conv_id").distinct().collect()}
 
