@@ -248,8 +248,17 @@ def _sql_lang_id(expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived RDF graph as a DataFrame.
+
+    Spark inlines SQL CTEs, so the 15 UNION ALL branches would each
+    re-execute the orders⋈customer base join; caching the (small) base
+    relation turns that into one join + 15 cache scans. The DuckDB oracle
+    runs the plain CTE text — DuckDB materializes CTEs itself.
+    """
     register_views(spark, sf_dir)
-    return spark.sql(RDF_GRAPH_SQL)
+    base = spark.sql(_BASE_SQL).cache()
+    base.createOrReplaceTempView("base")
+    return spark.sql(_GRAPH_SELECT_SQL)
 
 
 def q_nt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
