@@ -60,15 +60,14 @@ MANIFEST_SCHEMA = T.StructType(
     ]
 )
 
+# per-partition stage metrics (plans/lineage.py); rows-in/out pairs are
+# expressed as two stage rows (…/transcripts_in, …/triples_out) per bucket
 LINEAGE_SCHEMA = T.StructType(
     [
         T.StructField("run_id", T.StringType(), False),
         T.StructField("stage", T.StringType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
-        T.StructField("rows_in", T.LongType(), False),
         T.StructField("rows_out", T.LongType(), False),
-        T.StructField("dupes", T.LongType(), False),
-        T.StructField("wall_ms", T.LongType(), False),
     ]
 )
 
