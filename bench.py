@@ -45,6 +45,9 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = args.cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # 16g measured faster AND far more stable than larger heaps at 32
+    # threads (GC churn during cache materialization) — see BENCH/BASELINE.md
+    os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
     from bop_consus_importing_rdf_spark.session import get_spark
 

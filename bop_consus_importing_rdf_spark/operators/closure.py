@@ -33,6 +33,7 @@ def reachable_closure(
     follow: Sequence[str] = (KIND_IRI, KIND_BNODE),
     scope_cols: Sequence[str] = (),
     max_iters: int = 32,
+    prune_to_subjects: bool = False,
 ) -> DataFrame:
     """All nodes reachable from each seed root.
 
@@ -42,10 +43,27 @@ def reachable_closure(
     ``scope_cols`` is set (used by J3 to stay inside one dataset's model).
 
     Returns ``(root, node, *scope_cols)`` including the seeds themselves.
+
+    ``prune_to_subjects=True`` drops reached nodes that never appear as a
+    statement subject (leaf IRIs — class constants, literal-like targets).
+    They can't expand the frontier and contribute nothing to a subsequent
+    ``subgraph_triples`` join, but in DCAT-shaped data they dominate the
+    frontier (every dataset reaches the same class node), so pruning them
+    before the distinct/anti-join shuffles roughly halves per-iteration
+    bytes. Only the returned NODE SET changes (leaves omitted) — extracted
+    statements are identical.
     """
     from functools import reduce
 
     scope = list(scope_cols)
+    subj_nodes = None
+    if prune_to_subjects:
+        # materialized once — the semi-join probes it every iteration
+        subj_nodes = (
+            triples.select(F.col("subj").alias("node"))
+            .distinct()
+            .localCheckpoint()
+        )
     first = seeds.select("root", "node", *scope).distinct().localCheckpoint()
     # visited = lazy union of per-iteration checkpointed frontiers — never
     # re-materialized as a whole (the old union+checkpoint per iteration
@@ -63,8 +81,10 @@ def reachable_closure(
                 triples["obj_value"].alias("node"),
                 *[frontier[c] for c in scope],
             )
-            .distinct()
         )
+        if subj_nodes is not None:
+            step = step.join(subj_nodes, "node", "left_semi")
+        step = step.distinct()
         visited = reduce(lambda a, b: a.union(b), pieces)
         frontier = step.join(
             visited, ["root", "node", *scope], "left_anti"
