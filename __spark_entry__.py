@@ -3,9 +3,9 @@
 ``entry(spark)``: flagship KG-construction query at sf0.001.
 ``queries()``: one entry per implemented operator (SURVEY.md §2 + north-rule
 extension + training-data ops). ``oracle_sql()``: DuckDB-equivalent SQL for
-every SQL-expressible query (22 of them) — engineered so both engines
+every SQL-expressible query (24 of them) — engineered so both engines
 produce byte-identical values (see bop_consus_importing_rdf_spark/oracle.py).
-Queries without an oracle entry (iterative CC, LSH-ANN, SimHash, the full
+Queries without an oracle entry (iterative CC, LSH-ANN, the full
 transcript pipeline) get the driver's rows-only check and are additionally
 golden-tested in tests/.
 """
@@ -45,14 +45,6 @@ def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return minhash_dedup(docs, "doc_id", "text", shingle_n=5, k=8, bands=4,
                          threshold=0.6)
-
-
-def _q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bop_consus_importing_rdf_spark.operators.dedup import simhash32
-    from bop_consus_importing_rdf_spark.sources.catalog import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash32(docs, "doc_id", "text")
 
 
 def _q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +88,6 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROWS_ONLY = {
     "minhash_dedup_docs": _q_minhash_dedup_docs,
-    "simhash_docs": _q_simhash_docs,
     "ann_rhp_topk": _q_ann_rhp_topk,
     "entity_canonical_map": _q_entity_canonical_map,
     "kg_transcripts_e2e": _q_kg_transcripts_e2e,

@@ -506,8 +506,11 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # explicit float→double BEFORE the multiply: float32*1000 computed in
+    # float32 could floor across an integer boundary differently than the
+    # oracle's double arithmetic
     quant = F.transform(
-        F.col("embedding"), lambda x: F.floor(x * 1000).cast("long")
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
     v = emb.select(F.col("vec_id"), quant.alias("qv"))
     q = F.broadcast(
@@ -541,6 +544,52 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
         .select("query_id", "vec_id", "cosine_sim", F.col("rnk").cast("long"))
+    )
+
+
+def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash32
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash32(docs, "doc_id", "text")
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (quantized-exact, threshold 0.45 —
+    calibrated so the synthetic fixture yields a non-trivial pair set).
+
+    Brute-force all-pairs is the small-SF oracle baseline; the scale path
+    is the RHP-LSH variant (``ann_rhp_topk``, rows-only)."""
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    v = emb.select(F.col("vec_id"), quant.alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("qv").alias("_qa"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("qv").alias("_qb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = (
+        dot(F.col("_qa"), F.col("_qb")).cast("double")
+        / F.sqrt(
+            (dot(F.col("_qa"), F.col("_qa")) * dot(F.col("_qb"), F.col("_qb")))
+            .cast("double")
+        )
+    )
+    return (
+        pairs.withColumn("cosine_sim", sim)
+        .filter(F.col("cosine_sim") >= 0.45)
+        .select("id_a", "id_b", "cosine_sim")
     )
 
 
@@ -779,7 +828,8 @@ ORACLES: dict[str, str] = {
     ),
     "cosine_topk": (
         "WITH v AS (SELECT vec_id, "
-        "  list_transform(embedding, x -> cast(floor(x*1000) AS bigint)) "
+        "  list_transform(embedding, x -> "
+        "  cast(floor(cast(x AS double)*1000) AS bigint)) "
         "  AS qv FROM embeddings), "
         "q AS (SELECT vec_id AS query_id, qv AS qq FROM v WHERE vec_id < 8), "
         "s AS (SELECT q.query_id, v.vec_id, "
@@ -791,6 +841,38 @@ ORACLES: dict[str, str] = {
         "  ORDER BY cosine_sim DESC, vec_id ASC) AS rnk FROM s) "
         "SELECT query_id, vec_id, cosine_sim, cast(rnk AS bigint) AS rnk "
         "FROM r WHERE rnk <= 10"
+    ),
+    "simhash_docs": (
+        # bit b of conv(hex8, 16) == bit (b%4) of hex digit at index 7-b//4;
+        # extracted with pure arithmetic — no hex→int builtin needed
+        "WITH toks AS (SELECT doc_id AS id, "
+        "  unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+        "  FROM documents), "
+        "h AS (SELECT id, substring(md5(tok), 1, 8) AS hx FROM toks "
+        "  WHERE tok <> ''), "
+        "bits AS (SELECT id, hx, unnest(range(0, 32)) AS bit FROM h), "
+        "bitvals AS (SELECT id, bit, "
+        "  cast(floor((strpos('0123456789abcdef', "
+        "  substring(hx, cast(8 - bit//4 AS int), 1)) - 1) "
+        "  / (1 << (bit % 4))) AS bigint) % 2 AS bv FROM bits), "
+        "votes AS (SELECT id, bit, sum(2*bv - 1) AS v FROM bitvals "
+        "  GROUP BY id, bit) "
+        "SELECT id, cast(sum(CASE WHEN v > 0 "
+        "THEN (cast(1 AS bigint) << bit) ELSE 0 END) AS bigint) AS simhash "
+        "FROM votes GROUP BY id"
+    ),
+    "embedding_near_dup": (
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> "
+        "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv "
+        "  FROM embeddings) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "list_dot_product(a.qv, b.qv) / "
+        "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) "
+        "AS cosine_sim "
+        "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.qv, b.qv) / "
+        "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) "
+        ">= 0.45"
     ),
     "events_stable_order": (
         "SELECT user_id, event_id, "
@@ -834,6 +916,8 @@ SPARK_QUERIES = {
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "cosine_topk": q_cosine_topk,
+    "simhash_docs": q_simhash_docs,
+    "embedding_near_dup": q_embedding_near_dup,
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,
 }
