@@ -52,9 +52,10 @@ def split_datasets(
     )
 
     subjects = dataset_subjects(t)  # F2
+    # checkpointed: feeds both the closure seeds and the final F4 semi-join
     named = drop_blank_identifiers(  # X1 + F3
         with_identifier(subjects, t, remove_prefix, precedence_uri_ref)
-    )
+    ).localCheckpoint()
 
     # J1: one closure for every dataset at once
     seeds = named.select(F.col("subj").alias("root"), F.col("subj").alias("node"))

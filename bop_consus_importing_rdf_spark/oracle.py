@@ -299,10 +299,24 @@ def q_identify_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# six oracle queries are views over the same split result; the closure
+# loop's localCheckpoints are not plan-cached by Spark, so memoize the
+# split per (session, sf_dir) — the driver's correctness sweep would
+# otherwise recompute the iterative closure six times
+_SPLIT_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _split(spark: SparkSession, sf_dir: str):
     from .operators.split import split_datasets
 
-    return split_datasets(_graph(spark, sf_dir))
+    key = (id(spark), sf_dir)
+    if key not in _SPLIT_CACHE:
+        ds_triples, datasets = split_datasets(_graph(spark, sf_dir))
+        _SPLIT_CACHE[key] = (
+            ds_triples.localCheckpoint(eager=False),
+            datasets.localCheckpoint(eager=False),
+        )
+    return _SPLIT_CACHE[key]
 
 
 def q_split_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
