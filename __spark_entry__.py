@@ -75,23 +75,11 @@ def _q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_kg(spark, t, alias_table(spark))["triples"]
 
 
-def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bop_consus_importing_rdf_spark.operators.multimodal import (
-        decode_image_features,
-        synth_media,
-    )
-    from bop_consus_importing_rdf_spark.sources.catalog import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_image_features(synth_media(docs), n_dims=8, fake=True)
-
-
 _ROWS_ONLY = {
     "minhash_dedup_docs": _q_minhash_dedup_docs,
     "ann_rhp_topk": _q_ann_rhp_topk,
     "entity_canonical_map": _q_entity_canonical_map,
     "kg_transcripts_e2e": _q_kg_transcripts_e2e,
-    "multimodal_features": _q_multimodal_features,
 }
 
 

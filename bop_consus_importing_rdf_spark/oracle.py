@@ -607,6 +607,37 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode plumbing, fully oracle-checked.
+
+    The fake decoder is md5-seeded byte statistics (``operators/multimodal``)
+    — exactly expressible in SQL, so the whole Arrow ``mapInPandas`` stage is
+    correctness-gated. The ``feature array<float>`` column is projected to
+    ``feature_q``: ``round(x*255)`` recovers the md5 digest byte exactly
+    (float32 round-trip error ≤ 2^-25 relative — far below the 1/510
+    rounding margin), so quantization is engine-stable where a
+    ``floor(x*1000)`` of a float32 value would not be."""
+    from .operators.multimodal import decode_image_features, synth_media
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = decode_image_features(synth_media(docs), n_dims=8, fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_md5",
+        "byte_mean",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x.cast("double") * 255).cast("int"),
+            ),
+        ).alias("feature_q"),
+    )
+
+
 def q_events_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
@@ -888,6 +919,28 @@ ORACLES: dict[str, str] = {
         "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) "
         ">= 0.45"
     ),
+    "multimodal_features": (
+        # byte decoding from hex pairs: DuckDB hex() is uppercase → lower().
+        # payload = encode(text) (UTF-8 bytes), identical to the Spark side's
+        # F.encode(text, 'UTF-8'); md5(varchar) hashes the UTF-8 bytes.
+        "WITH m AS (SELECT 'image-' || doc_id AS media_id, 'image' AS kind, "
+        "  md5(text) AS payload_md5, "
+        "  octet_length(encode(text)) AS n_bytes, "
+        "  lower(hex(encode(text))) AS hx FROM documents), "
+        "s AS (SELECT media_id, kind, payload_md5, n_bytes, "
+        "  list_aggregate(list_transform(range(n_bytes), i -> "
+        "    (strpos('0123456789abcdef', substring(hx, 2*i+1, 1))-1)*16 "
+        "  + (strpos('0123456789abcdef', substring(hx, 2*i+2, 1))-1)), "
+        "  'sum') AS byte_sum FROM m) "
+        "SELECT media_id, kind, cast(n_bytes AS bigint) AS n_bytes, "
+        "payload_md5, "
+        "CASE WHEN n_bytes > 0 THEN byte_sum / n_bytes ELSE 0.0 END "
+        "AS byte_mean, "
+        "list_aggregate(list_transform(range(8), i -> cast("
+        "  (strpos('0123456789abcdef', substring(payload_md5, 2*i+1, 1))-1)*16 "
+        "+ (strpos('0123456789abcdef', substring(payload_md5, 2*i+2, 1))-1) "
+        "AS varchar)), 'string_agg', ',') AS feature_q FROM s"
+    ),
     "events_stable_order": (
         "SELECT user_id, event_id, "
         "cast(row_number() OVER (PARTITION BY user_id "
@@ -932,6 +985,7 @@ SPARK_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,
 }
