@@ -36,6 +36,7 @@ def connected_components(
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint()
 
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -70,4 +71,12 @@ def connected_components(
         labels = doubled
         if converged:
             break
+    if not converged:
+        # a silently-partial labeling would merge/split components wrong on
+        # adversarial graphs (chains longer than 2^max_iters after pointer
+        # doubling cannot occur in practice, so this is a true invariant)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"iterations — labels still changing; raise max_iters"
+        )
     return labels.select(F.col("node"), F.col("comp").alias("component"))

@@ -5,26 +5,58 @@ statements reachable from a dataset resource — following object IRIs and
 blank nodes. Relationally this is an iterative equi-join to fixpoint:
 
     frontier := seed subjects
-    repeat: frontier := (frontier ⋈ triples on node=subj).obj  \\ visited
+    repeat: frontier := (frontier ⋈ edges on node=src).dst  \\ visited
 
 Driver-side ``while`` over DataFrames with ``localCheckpoint()`` per
 iteration (cuts lineage — the classic failure mode of iterative Spark jobs);
 AQE picks broadcast joins automatically once the frontier shrinks below the
 broadcast threshold. DCAT graphs are shallow (~3-4 hops) so the loop runs a
-handful of iterations regardless of data size; each iteration is one shuffle
-on ``node``.
+handful of iterations regardless of data size.
 
-The oracle twin is a recursive CTE (DuckDB) — see ``__spark_entry__.py``.
+Scale/latency design:
+
+- the loop probes a SLIM persisted edge projection ``(src, dst)`` — two
+  columns instead of the six-column statement rows, and only the follow-kind
+  statements — so each iteration scans roughly half the bytes;
+- ``hops_per_iter=2``: each iteration joins the frontier through the edge
+  table twice before the distinct/anti-join bookkeeping, halving the number
+  of Spark jobs (checkpoint + isEmpty actions dominate wall time on shallow
+  graphs; at 100 TB they dominate scheduler pressure instead);
+- the visited set is a lazy union of checkpointed per-iteration frontiers —
+  never re-materialized as a whole (the union+checkpoint-per-iteration
+  variant rewrites O(V) rows every round, turning O(E·d) work into O(V·d²)).
+
+The oracle twin is a recursive CTE (DuckDB) — see ``oracle.py::SPLIT_CTE``.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..vocab import KIND_BNODE, KIND_IRI
+
+
+def _hop(
+    hop: DataFrame,
+    edges: DataFrame,
+    tag: str,
+    scope: list[str],
+    broadcast: bool,
+) -> DataFrame:
+    """One frontier ⋈ edges expansion; ``tag`` disambiguates the self-join."""
+    eh = edges.alias(tag)
+    if broadcast:
+        eh = F.broadcast(eh)
+    cond = [hop["node"] == F.col(f"{tag}._src")]
+    cond += [hop[c] == F.col(f"{tag}.{c}") for c in scope]
+    return hop.join(eh, cond).select(
+        hop["root"], F.col(f"{tag}._dst").alias("node"), *[hop[c] for c in scope]
+    )
 
 
 def reachable_closure(
@@ -34,28 +66,58 @@ def reachable_closure(
     scope_cols: Sequence[str] = (),
     max_iters: int = 32,
     prune_to_subjects: bool = False,
+    unroll: int = 4,
+    hops_per_iter: int = 2,
+    broadcast_edges_max: int = 4_000_000,
 ) -> DataFrame:
     """All nodes reachable from each seed root.
 
     ``seeds``: columns ``root, node`` (+ ``scope_cols``); usually
     ``root == node`` = the dataset subject. ``triples``: the statement table
     (+ ``scope_cols``). The closure never leaves a scope partition when
-    ``scope_cols`` is set (used by J3 to stay inside one dataset's model).
+    ``scope_cols`` is set (used to stay inside one dataset's model).
 
     Returns ``(root, node, *scope_cols)`` including the seeds themselves.
+
+    **Unrolled prefix**: the first ``unroll`` hops are expanded as UNION
+    branches of ONE plan — a single distinct + a single checkpoint + a single
+    emptiness probe — because catalogue-shaped RDF is 3-4 hops deep and the
+    per-iteration driver actions (checkpoint job + isEmpty job), not data
+    volume, dominate the fixpoint loop there. Catalyst reuses the shared
+    join prefix across branches (ReusedExchange). If the graph is deeper,
+    the anti-join loop below picks up where the unroll stopped, 2 hops per
+    iteration, with exact fixpoint semantics. ``unroll=0`` disables the
+    prefix for graphs with heavy cyclic fan-out (the unrolled branches do
+    not dedupe between hops, so a dense cycle would enumerate paths, not
+    nodes — the loop's per-iteration distinct is the right tool there).
+
+    Raises ``RuntimeError`` if the loop hits ``max_iters`` with a non-empty
+    frontier — a silently truncated closure would quietly drop statements on
+    adversarial deep graphs.
 
     ``prune_to_subjects=True`` drops reached nodes that never appear as a
     statement subject (leaf IRIs — class constants, literal-like targets).
     They can't expand the frontier and contribute nothing to a subsequent
-    ``subgraph_triples`` join, but in DCAT-shaped data they dominate the
-    frontier (every dataset reaches the same class node), so pruning them
-    before the distinct/anti-join shuffles roughly halves per-iteration
-    bytes. Only the returned NODE SET changes (leaves omitted) — extracted
-    statements are identical.
+    ``subgraph_triples`` join. Only the returned NODE SET changes (leaves
+    omitted) — extracted statements are identical.
     """
-    from functools import reduce
-
     scope = list(scope_cols)
+    edges = (
+        triples.filter(F.col("obj_kind").isin(*follow))
+        .select(
+            F.col("subj").alias("_src"), F.col("obj_value").alias("_dst"), *scope
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Broadcasting the edge relation turns every hop join into a narrow
+    # broadcast-hash probe — the whole unrolled expansion collapses into a
+    # single stage with NO shuffles (the per-stage scheduling latency of the
+    # shuffle alternative dominates wall time on shallow graphs). The count
+    # runs on the fresh cache, so it doubles as the cache-fill action. Above
+    # the threshold (count as a cheap proxy for bytes) the joins fall back
+    # to shuffle joins, which is the correct 100-TB plan — there the edge
+    # table dwarfs executor memory and stage latency is noise.
+    broadcast = edges.count() <= broadcast_edges_max
     subj_nodes = None
     if prune_to_subjects:
         # materialized once — the semi-join probes it every iteration
@@ -64,34 +126,68 @@ def reachable_closure(
             .distinct()
             .localCheckpoint()
         )
-    first = seeds.select("root", "node", *scope).distinct().localCheckpoint()
-    # visited = lazy union of per-iteration checkpointed frontiers — never
-    # re-materialized as a whole (the old union+checkpoint per iteration
-    # rewrote O(V) rows every round, turning O(E·d) work into O(V·d²))
-    pieces = [first]
-    frontier = first
-    for _ in range(max_iters):
-        cond = [frontier["node"] == triples["subj"]]
-        cond += [frontier[c] == triples[c] for c in scope]
-        step = (
-            frontier.join(triples, cond)
-            .filter(triples["obj_kind"].isin(*follow))
-            .select(
-                frontier["root"],
-                triples["obj_value"].alias("node"),
-                *[frontier[c] for c in scope],
-            )
+
+    def _prune(df: DataFrame) -> DataFrame:
+        if subj_nodes is None:
+            return df
+        return df.join(subj_nodes, "node", "left_semi")
+
+    first = seeds.select("root", "node", *scope).distinct()
+    if unroll > 0:
+        parts = [first.withColumn("_k", F.lit(0))]
+        hop = first
+        for h in range(unroll):
+            hop = _hop(hop, edges, f"_u{h}", scope, broadcast)
+            parts.append(_prune(hop).withColumn("_k", F.lit(h + 1)))
+        # ONE aggregation carries both outputs of the unroll: the node set
+        # (groupBy keys) and the continuation frontier (max hop index ==
+        # unroll ⇒ the node has a longest known path of exactly `unroll`
+        # hops, so its successors may be unexplored; max < unroll ⇒ every
+        # successor was reached within the unroll). One checkpoint job,
+        # and the emptiness probe below is a cheap checkpoint scan instead
+        # of a full recompute of the unrolled plan.
+        agg = (
+            reduce(lambda a, b: a.union(b), parts)
+            .groupBy("root", "node", *scope)
+            .agg(F.max("_k").alias("_k"))
+            .localCheckpoint()
         )
-        if subj_nodes is not None:
-            step = step.join(subj_nodes, "node", "left_semi")
-        step = step.distinct()
+        base = agg.drop("_k")
+        pieces = [base]
+        frontier = agg.filter(F.col("_k") == unroll).drop("_k")
+        if frontier.isEmpty():
+            edges.unpersist()
+            return base
+        frontier = frontier.localCheckpoint()
+    else:
+        frontier = first.localCheckpoint()
+        pieces = [frontier]
+    exhausted = True
+    for _ in range(max_iters):
+        # multi-hop expansion: hop h may re-expand already-visited nodes
+        # (wasted join fan-out, bounded by the frontier's 2-hop ball) but the
+        # trailing anti-join keeps the fixpoint exact
+        hop = frontier
+        hop_results = []
+        for h in range(hops_per_iter):
+            hop = _hop(hop, edges, f"_e{h}", scope, broadcast)
+            hop_results.append(_prune(hop))
+        step = reduce(lambda a, b: a.union(b), hop_results).distinct()
         visited = reduce(lambda a, b: a.union(b), pieces)
         frontier = step.join(
             visited, ["root", "node", *scope], "left_anti"
         ).localCheckpoint()
         if frontier.isEmpty():
+            exhausted = False
             break
         pieces.append(frontier)
+    edges.unpersist()
+    if exhausted:
+        raise RuntimeError(
+            f"reachable_closure did not converge within {max_iters} "
+            f"iterations ({max_iters * hops_per_iter} hops) — residual "
+            f"frontier is non-empty; raise max_iters for deeper graphs"
+        )
     return reduce(lambda a, b: a.union(b), pieces)
 
 

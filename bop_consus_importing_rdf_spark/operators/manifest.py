@@ -52,16 +52,23 @@ def resolve_total(
     datasets: DataFrame,
     doc_totals: DataFrame,
     doc_col: str = "doc_id",
+    actual_counts: DataFrame | None = None,
 ) -> DataFrame:
     """A1: per-page ``total`` = hydra ``totalItems`` if > 0 else the page's
     actual dataset count (``Flows.kt:106``).
 
     ``doc_totals``: ``(doc_id, hydra_total)``. ``datasets`` must carry
-    ``doc_col``.
+    ``doc_col``. ``actual_counts`` (``doc_col, _actual_total``) overrides the
+    fallback count — the reference takes ``datasets.size`` at Flows.kt:105
+    BEFORE identifier/blank/empty filtering, so callers should pass the
+    pre-filter dataset-subject count per page; without it the count of the
+    rows in ``datasets`` is used.
     """
-    actual = datasets.groupBy(doc_col).agg(
-        F.count(F.lit(1)).alias("_actual_total")
-    )
+    actual = actual_counts
+    if actual is None:
+        actual = datasets.groupBy(doc_col).agg(
+            F.count(F.lit(1)).alias("_actual_total")
+        )
     return (
         datasets.join(F.broadcast(doc_totals), doc_col, "left")
         .join(F.broadcast(actual), doc_col, "left")

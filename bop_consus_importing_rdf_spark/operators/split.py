@@ -57,56 +57,70 @@ def split_datasets(
         with_identifier(subjects, t, remove_prefix, precedence_uri_ref)
     ).localCheckpoint()
 
-    # J1: one closure for every dataset at once
-    seeds = named.select(F.col("subj").alias("root"), F.col("subj").alias("node"))
-    closure = reachable_closure(t, seeds)
+    # J1 + J3 closures FUSED into one loop. The reference computes the
+    # catalogue subgraph WITHIN each dataset's extracted model
+    # (Flows.kt:117-121). A dataset's node set is forward-closed (its model
+    # holds every statement whose subject is reachable), so the within-model
+    # closure of a catalogue node equals its GLOBAL closure — which lets the
+    # catalogue roots ride the SAME iterative loop as the dataset roots
+    # (one fixpoint instead of two: half the checkpoint/isEmpty actions).
+    # Catalogue roots are known globally up front (subjects typed
+    # dcat:Catalog); closures of catalogue nodes that never occur inside a
+    # dataset are tiny wasted work, joined away below.
+    ds_seeds = named.select(F.col("subj").alias("root"), F.col("subj").alias("node"))
+    cat_roots = (
+        t.filter((F.col("pred") == RDF_TYPE) & (F.col("obj_value") == DCAT_CATALOG))
+        .select(F.col("subj").alias("root"), F.col("subj").alias("node"))
+        .distinct()
+    )
+    closure = reachable_closure(t, ds_seeds.union(cat_roots))
+
+    ds_closure = closure.join(
+        named.select(F.col("subj").alias("root")), "root", "left_semi"
+    )
+    # partitioned by dataset_id ALONE: every downstream consumer that
+    # matters — the F4 distinct, the per-dataset triple counts, and
+    # canonical_hash's groupBy(dataset_id) — clusters on dataset_id, so a
+    # single-column hash partitioning makes them all exchange-free (a
+    # (dataset_id, subj) hash satisfies none of them)
     ds_triples = (
-        subgraph_triples(t, closure, root_alias="dataset_id")
-        .repartition(F.col("dataset_id"), F.col("subj"))
+        subgraph_triples(t, ds_closure, root_alias="dataset_id")
+        .repartition(F.col("dataset_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # J3: nested-catalogue subtraction. The dataset resource itself is never
-    # subtracted even if (mis)typed dcat:Catalog — the reference iterates
-    # catalogue resources of the *extracted* model and removing the root
-    # would void the dataset.
-    #
-    # The reference computes the catalogue subgraph WITHIN each dataset's
-    # model (Flows.kt:117-121). A dataset's node set is forward-closed
-    # (its model holds every statement whose subject is reachable), so the
-    # within-model closure of a catalogue node equals its GLOBAL closure —
-    # one tiny-seeded closure over t replaces a scoped closure over the
-    # (×Datasets larger) tagged triple set.
+    # J3: nested-catalogue subtraction — faithful to the reference, which
+    # iterates ALL catalogue-typed resources of the extracted model
+    # (Flows.kt:117-121) INCLUDING the dataset root itself when it is
+    # (mis)typed dcat:Catalog: such a dataset's model empties and F4 drops it.
     cat_in_ds = (
         ds_triples.filter(
-            (F.col("pred") == RDF_TYPE)
-            & (F.col("obj_value") == DCAT_CATALOG)
-            & (F.col("subj") != F.col("dataset_id"))
+            (F.col("pred") == RDF_TYPE) & (F.col("obj_value") == DCAT_CATALOG)
         )
         .select("dataset_id", F.col("subj").alias("cat_root"))
         .distinct()
     )
-    if not cat_in_ds.isEmpty():
-        cat_seeds = cat_in_ds.select(
-            F.col("cat_root").alias("root"), F.col("cat_root").alias("node")
-        ).distinct()
-        cat_closure = reachable_closure(t, cat_seeds)
-        removal = (
-            cat_in_ds.join(
-                cat_closure, cat_in_ds["cat_root"] == cat_closure["root"]
-            )
-            .select("dataset_id", F.col("node").alias("subj"))
-            .distinct()
-        )
-        ds_triples = ds_triples.join(
-            removal, ["dataset_id", "subj"], "left_anti"
-        )
+    removal = (
+        cat_in_ds.join(closure, cat_in_ds["cat_root"] == closure["root"])
+        .select("dataset_id", F.col("node").alias("subj"))
+        .distinct()
+    )
+    # the finished per-dataset statement table is consumed by several
+    # downstream views (F4, counts, canonical hash, renders) — checkpoint it
+    # ONCE so every consumer reads materialized blocks instead of re-running
+    # the subtraction (at cluster scale this materialization is the bucketed
+    # parquet write the resume layer performs anyway)
+    final = ds_triples.join(
+        removal, ["dataset_id", "subj"], "left_anti"
+    ).localCheckpoint()
+    t.unpersist()
+    ds_triples.unpersist()
 
     # F4: drop datasets whose model ended up empty
-    non_empty = ds_triples.select(
+    non_empty = final.select(
         F.col("dataset_id").alias("subj")
     ).distinct()
     datasets = named.join(non_empty, "subj", "left_semi").select(
         "subj", "identifier"
     )
-    return ds_triples, datasets
+    return final, datasets

@@ -169,9 +169,10 @@ ds_triples AS (
   FROM cleaned t JOIN reach r ON t.subj = r.node
 ),
 cat_reach(dataset_id, root, node) AS (
+  -- faithful to Flows.kt:117-121: the dataset root itself is a catalogue
+  -- seed when (mis)typed dcat:Catalog (its model then empties; F4 drops it)
   SELECT DISTINCT dataset_id, subj, subj FROM ds_triples
   WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_CATALOG}'
-    AND subj <> dataset_id
   UNION
   SELECT c.dataset_id, c.root, t.obj_value FROM cat_reach c
   JOIN ds_triples t ON t.dataset_id = c.dataset_id AND t.subj = c.node
@@ -311,11 +312,9 @@ def _split(spark: SparkSession, sf_dir: str):
 
     key = (id(spark), sf_dir)
     if key not in _SPLIT_CACHE:
-        ds_triples, datasets = split_datasets(_graph(spark, sf_dir))
-        _SPLIT_CACHE[key] = (
-            ds_triples.localCheckpoint(eager=False),
-            datasets.localCheckpoint(eager=False),
-        )
+        # split_datasets already checkpoints its outputs' expensive subtree;
+        # memoizing the DataFrames is enough for the six oracle views
+        _SPLIT_CACHE[key] = split_datasets(_graph(spark, sf_dir))
     return _SPLIT_CACHE[key]
 
 
@@ -373,8 +372,14 @@ def q_total_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ds = datasets.join(doc_of, "subj")
     doc_totals = spark.sql(DOC_TOTALS_SQL)
+    # fallback total = PRE-filter dataset-subject count per page: the
+    # reference takes datasets.size (Flows.kt:105-106) before the
+    # identifier/blank/empty filters run, NOT the surviving-dataset count
+    actual = doc_of.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_actual_total")
+    )
     return (
-        resolve_total(ds, doc_totals)
+        resolve_total(ds, doc_totals, actual_counts=actual)
         .select("doc_id", "total")
         .distinct()
     )
@@ -759,7 +764,9 @@ ORACLES: dict[str, str] = {
         f"  WHERE pred = '{RDF_TYPE}' AND obj_value = '{DCAT_DATASET}'),"
         f"ds_docs AS (SELECT d.subj, o.doc_id FROM datasets d "
         f"  JOIN doc_of o ON o.subj = d.subj),"
-        f"actual AS (SELECT doc_id, count(*) AS n FROM ds_docs GROUP BY doc_id),"
+        # pre-filter count (Flows.kt:105-106): ALL dataset-typed subjects of
+        # the page, not just the post-F3/F4 survivors
+        f"actual AS (SELECT doc_id, count(*) AS n FROM doc_of GROUP BY doc_id),"
         f"totals AS ({DOC_TOTALS_SQL}) "
         f"SELECT DISTINCT dd.doc_id, "
         f"cast(CASE WHEN t.hydra_total > 0 THEN t.hydra_total ELSE a.n END "

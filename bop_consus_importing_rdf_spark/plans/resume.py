@@ -26,9 +26,20 @@ def with_bucket(df: DataFrame, n_buckets: int = 16) -> DataFrame:
     )
 
 
+def _hadoop_path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — works for
+    ``file:``, ``hdfs:``, ``s3a:``… (``os.path.exists`` silently answers
+    False for any non-local URI, which would restart finished runs on an
+    object store)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
+
+
 def committed_buckets(spark: SparkSession, out_dir: str) -> set[int]:
     marker = os.path.join(out_dir, "_committed")
-    if not os.path.exists(marker):
+    if not _hadoop_path_exists(spark, marker):
         return set()
     return {
         r.bucket for r in spark.read.parquet(marker).select("bucket").collect()
@@ -87,8 +98,12 @@ def run_resumable(
                 stage_metrics(written, run_id, f"bucket={b}/triples_out"),
             ]
         )
-        metrics.write.mode("append").parquet(
-            os.path.join(out_dir, "lineage_metrics")
+        # bucket-partitioned overwrite, NOT a flat append: a crash between
+        # this write and the marker append would otherwise leave duplicate
+        # lineage rows when the bucket replays (the triples overwrite is
+        # idempotent; the metrics write must be too)
+        metrics.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"lineage_metrics/bucket={b}")
         )
         # the marker append IS the commit point: triples + metrics for
         # bucket b are fully written before b is recorded

@@ -20,13 +20,15 @@ def get_spark(
     """Build (or fetch) the session.
 
     ``cores=None`` → ``local[*]``. ``shuffle_partitions`` defaults to
-    3× the core count: enough granularity that a straggler task (hot key,
-    GC pause) doesn't idle the other cores, without the stock 200's
-    tiny-task overhead. Measured on the KG pipeline at 32 cores:
-    parts=cores 94s vs parts=3×cores 43s.
+    1× the core count: re-measured round 2 on the KG pipeline at 32 cores,
+    parts=32 beats parts=96 (9.5s vs 11.9s) and split_datasets prefers it
+    even more (~25s vs ~35s) — per-exchange file/stream overhead outweighs
+    straggler smoothing at these volumes, and AQE's skew-join splitting
+    covers the hot keys that the 3× rule was guarding against. On a real
+    cluster the submit script sizes this by data volume instead.
     """
     master = f"local[{cores}]" if cores else "local[*]"
-    n_shuffle = shuffle_partitions or 3 * (cores or os.cpu_count() or 8)
+    n_shuffle = shuffle_partitions or (cores or os.cpu_count() or 8)
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -14,7 +14,9 @@ from bop_consus_importing_rdf_spark.plans.resume import (
 
 
 def test_resume_after_partial_failure(spark, tmp_path):
-    out_dir = str(tmp_path / "kg_out")
+    # explicit file: URI — the commit-marker existence check goes through the
+    # Hadoop FileSystem API, so the same code path serves hdfs:/s3a: URIs
+    out_dir = "file://" + str(tmp_path / "kg_out")
     t = synth_transcripts(spark, n_conv=10, seed=5)
     aliases = alias_table(spark)
 
@@ -37,12 +39,21 @@ def test_resume_after_partial_failure(spark, tmp_path):
     # a third run is a no-op (idempotent)
     assert run_resumable(spark, t, aliases, out_dir, n_buckets=4) == 0
 
-    # lineage: every committed bucket wrote per-partition metrics rows
+    # lineage: every committed bucket wrote per-partition metrics rows into
+    # its own bucket=<b> partition (replay-idempotent overwrite); reading the
+    # parent dir surfaces the partition column
     metrics = spark.read.parquet(f"{out_dir}/lineage_metrics")
     assert metrics.count() > 0
     assert set(metrics.columns) == {
-        "run_id", "stage", "partition_id", "rows_out"
+        "run_id", "stage", "partition_id", "rows_out", "bucket"
     }
+    # exactly one run's metrics per bucket survives replay — the bucket
+    # re-run in the restart overwrote the crashed attempt's rows
+    per_bucket_runs = (
+        metrics.select("bucket", "run_id").distinct()
+        .groupBy("bucket").count().filter(F.col("count") > 1)
+    )
+    assert per_bucket_runs.isEmpty()
     stages = {r.stage for r in metrics.select("stage").distinct().collect()}
     assert any(s.endswith("triples_out") for s in stages)
     assert any(s.endswith("transcripts_in") for s in stages)
