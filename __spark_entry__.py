@@ -34,38 +34,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# rows-only queries (non-SQL-expressible: iterative fixpoints, LSH-ANN,
-# SimHash bit arithmetic, the full transcript pipeline)
+# rows-only queries (non-SQL-expressible: the full transcript pipeline —
+# fused Arrow-UDF extraction + composed canonicalization; its stages are
+# individually oracle-checked via doc_mentions/doc_entity_links/
+# doc_kg_triples/entity_canonical_map)
 # ---------------------------------------------------------------------------
-
-def _q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bop_consus_importing_rdf_spark.operators.dedup import minhash_dedup
-    from bop_consus_importing_rdf_spark.sources.catalog import load_table
-
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_dedup(docs, "doc_id", "text", shingle_n=5, k=8, bands=4,
-                         threshold=0.6)
-
-
-def _q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    from bop_consus_importing_rdf_spark.operators.similarity import rhp_ann_topk
-    from bop_consus_importing_rdf_spark.sources.catalog import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return rhp_ann_topk(emb, queries_df, k=10, n_planes=16, bands=8, dim=64)
-
-
-def _q_entity_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from bop_consus_importing_rdf_spark.kg.pipeline import canonical_entity_map
-    from bop_consus_importing_rdf_spark.kg.synth import alias_table
-
-    return canonical_entity_map(alias_table(spark))
-
 
 def _q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bop_consus_importing_rdf_spark.kg.pipeline import build_kg
@@ -76,9 +49,6 @@ def _q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ROWS_ONLY = {
-    "minhash_dedup_docs": _q_minhash_dedup_docs,
-    "ann_rhp_topk": _q_ann_rhp_topk,
-    "entity_canonical_map": _q_entity_canonical_map,
     "kg_transcripts_e2e": _q_kg_transcripts_e2e,
 }
 

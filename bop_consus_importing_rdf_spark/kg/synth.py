@@ -39,14 +39,9 @@ PROD_STEMS = [
 ]
 
 
-def alias_table(spark: SparkSession) -> DataFrame:
-    """The small broadcast gazetteer (FIXTURES.md §3): ~120 rows.
-
-    Includes alias collisions (``Mercury`` → two entities with different
-    priors) and near-duplicate entity pairs (``X Corp`` vs ``X Corporation``
-    minted as distinct URIs on even index) that MinHash+CC must merge during
-    canonicalization.
-    """
+def alias_rows() -> list[tuple[str, str, float]]:
+    """The gazetteer rows as a plain deterministic literal list — shared by
+    the Spark fixture table AND the DuckDB oracle (rendered as VALUES)."""
     rows: list[tuple[str, str, float]] = []
     for i, st in enumerate(ORG_STEMS):
         if i % 2 == 0:
@@ -66,8 +61,19 @@ def alias_table(spark: SparkSession) -> DataFrame:
     rows.append(("Mercury Holdings", f"{KG_NS}ent:org_mercury", 0.8))
     rows.append(("Mercury", f"{KG_NS}ent:prod_mercury", 0.3))
     rows.append(("Mercury X1", f"{KG_NS}ent:prod_mercury", 0.8))
+    return rows
+
+
+def alias_table(spark: SparkSession) -> DataFrame:
+    """The small broadcast gazetteer (FIXTURES.md §3): ~120 rows.
+
+    Includes alias collisions (``Mercury`` → two entities with different
+    priors) and near-duplicate entity pairs (``X Corp`` vs ``X Corporation``
+    minted as distinct URIs on even index) that MinHash+CC must merge during
+    canonicalization.
+    """
     return spark.createDataFrame(
-        rows, "alias string, entity_uri string, prior double"
+        alias_rows(), "alias string, entity_uri string, prior double"
     )
 
 

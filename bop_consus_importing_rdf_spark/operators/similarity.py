@@ -86,20 +86,54 @@ def rademacher_planes(n_planes: int, dim: int, seed: int = 42) -> list[list[int]
 
 
 def rhp_signature(
-    vec: Column, planes: list[list[int]], bands: int = 2
+    vec: Column, planes: list[list[int]], bands: int = 2, quantized: bool = False
 ) -> Column:
-    """``array<string>`` of band keys: the signature bits split into bands."""
+    """``array<string>`` of band keys: the signature bits split into bands.
+
+    ``quantized=True`` expects an integer vector (``array<long>``) and keeps
+    the plane dot products in pure integer arithmetic — the sign test is then
+    bit-identical in any engine (a float32 dot could flip a near-zero sign
+    between engines), which is what makes the ANN path oracle-checkable."""
     n = len(planes)
     per_band = n // bands
-    bits = [
-        F.when(
-            _dot(vec, F.array(*[F.lit(float(c)) for c in plane])) >= 0, "1"
-        ).otherwise("0")
-        for plane in planes
-    ]
+    # ONE array<array<…>> literal + transform, NOT n_planes copies of a
+    # 64-literal dot expression: constant folding collapses the plane matrix
+    # into a single literal, so Janino compiles a small expression (the
+    # unrolled form cost ~20s of codegen compilation before any data moved)
+    if quantized:
+        planes_lit = F.array(
+            *[
+                F.array(*[F.lit(int(c)).cast("long") for c in plane])
+                for plane in planes
+            ]
+        )
+        zero = F.lit(0).cast("long")
+    else:
+        planes_lit = F.array(
+            *[
+                F.array(*[F.lit(float(c)) for c in plane])
+                for plane in planes
+            ]
+        )
+        zero = F.lit(0.0)
+    bits_arr = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x * y),
+                zero,
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            F.lit("1"),
+        ).otherwise("0"),
+    )
     keys = []
     for b in range(bands):
-        seg = bits[b * per_band : (b + 1) * per_band]
+        seg = [
+            F.element_at(bits_arr, b * per_band + r + 1)
+            for r in range(per_band)
+        ]
         keys.append(F.concat(F.lit(f"{b}:"), *seg))
     return F.array(*keys)
 
@@ -115,24 +149,41 @@ def rhp_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane bucketing + exact re-rank.
 
     Candidates = vectors sharing ≥1 signature band with the query. The
     bucket join shuffles on the band key (uniform by construction); the
     cross product never materializes.
+
+    ``quantized=True`` floors each float to a ``floor(x*1000)`` long before
+    both the signature and the cosine re-rank — integer dot products and a
+    single final division make every value byte-identical to a SQL oracle
+    (same trick as ``cosine_topk``'s oracle twin).
     """
     planes = rademacher_planes(n_planes, dim, seed)
+    if quantized:
+        quant = F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+        )
+        vectors = vectors.withColumn(vec_col, quant)
+        queries = queries.withColumn(vec_col, quant)
     v_sig = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(rhp_signature(F.col(vec_col), planes, bands)).alias("band_key"),
+        F.explode(
+            rhp_signature(F.col(vec_col), planes, bands, quantized)
+        ).alias("band_key"),
     )
     q_sig = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("_qv"),
-            F.explode(rhp_signature(F.col(vec_col), planes, bands)).alias("band_key"),
+            F.explode(
+                rhp_signature(F.col(vec_col), planes, bands, quantized)
+            ).alias("band_key"),
         )
     )
     cand = (
@@ -140,11 +191,16 @@ def rhp_ann_topk(
         .select("query_id", "vec_id", "_v", "_qv")
         .dropDuplicates(["query_id", "vec_id"])
     )
-    scored = cand.select(
-        "query_id",
-        "vec_id",
-        cosine(F.col("_v"), F.col("_qv")).alias("cosine_sim"),
-    )
+    if quantized:
+        # single sqrt over the dot-product PRODUCT: sqrt(a·a × b·b) differs
+        # from sqrt(a·a)×sqrt(b·b) by an ulp — the oracle uses the former,
+        # so the Spark side must too (integer dots are exact in double)
+        sim = _dot(F.col("_v"), F.col("_qv")) / F.sqrt(
+            _dot(F.col("_v"), F.col("_v")) * _dot(F.col("_qv"), F.col("_qv"))
+        )
+    else:
+        sim = cosine(F.col("_v"), F.col("_qv"))
+    scored = cand.select("query_id", "vec_id", sim.alias("cosine_sim"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("vec_id").asc()
     )

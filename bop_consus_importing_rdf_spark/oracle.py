@@ -612,6 +612,44 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup clustering (LSH candidates → exact Jaccard → CC → rep),
+    oracle-checked: DuckDB computes the connected components with a
+    recursive reachability CTE and takes min(reachable) per node — the same
+    min-label semantics as the distributed pointer-doubling CC."""
+    from .operators.dedup import minhash_dedup
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_dedup(docs, "doc_id", "text", shingle_n=5, k=8, bands=4,
+                         threshold=0.6)
+
+
+def q_entity_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .kg.pipeline import canonical_entity_map
+    from .kg.synth import alias_table
+
+    return canonical_entity_map(alias_table(spark))
+
+
+def q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN, quantized-exact (engine-stable integer
+    signature bits + single-division cosine) so the bucket join, dedup and
+    re-rank are all correctness-gated against the SQL twin."""
+    from .operators.similarity import rhp_ann_topk
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = rhp_ann_topk(emb, queries_df, k=10, n_planes=16, bands=8, dim=64,
+                       quantized=True)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("long")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing, fully oracle-checked.
 
@@ -710,6 +748,69 @@ _SIG_SELECT = (
     + ", ".join(f"min(md5('p{p}:'||shingle)) AS mh{p}" for p in range(6))
     + " FROM sh GROUP BY id"
 )
+
+# --- shared fragments for the dedup/CC and ANN oracles ---------------------
+
+# min-label connected components as a recursive reachability CTE: reach =
+# closure over the symmetrized edges, component = min(reachable ∪ self) —
+# identical semantics to kg/cc.py's pointer-doubling min-label propagation
+_CC_CTE = """
+sym AS (SELECT a, b FROM edges UNION SELECT b, a FROM edges),
+reach(src, node) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT src, min(node) AS component FROM reach GROUP BY src)
+"""
+
+_CHAR5_SHINGLES = """
+sh AS (
+  SELECT DISTINCT doc_id AS id, substring(lower(text), pos, 5) AS shingle
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, greatest(length(text)-4, 1)+1)) AS pos
+    FROM documents)
+)
+"""
+
+_SIG8 = (
+    "sig AS (SELECT id, "
+    + ", ".join(f"min(md5('p{p}:'||shingle)) AS mh{p}" for p in range(8))
+    + " FROM sh GROUP BY id)"
+)
+
+_BANDS8 = (
+    "banded AS ("
+    + " UNION ALL ".join(
+        f"SELECT id, {b} AS band_idx, mh{2*b}||'|'||mh{2*b+1} AS band_key FROM sig"
+        for b in range(4)
+    )
+    + ")"
+)
+
+
+def _alias_values_sql() -> str:
+    from .kg.synth import alias_rows
+
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"('{a}', '{e}', {p})" for a, e, p in alias_rows()
+    ) + ") t(alias, entity_uri, prior)"
+
+
+def _planes_values_sql(n_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
+    from .operators.similarity import rademacher_planes
+
+    planes = rademacher_planes(n_planes, dim, seed)
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"({i}, [{', '.join(str(c) for c in row)}])"
+        for i, row in enumerate(planes)
+    ) + ") t(p_idx, plane)"
+
+
+# DuckDB twin of kg/blocking.py::_LEGAL_SUFFIXES (RE2 supports \b)
+_LEGAL_SUFFIXES_SQL = r"\b(corp|corporation|inc|incorporated|ltd|llc|gmbh|co|the)\b"
+
 
 ORACLES: dict[str, str] = {
     "nt_render": (
@@ -926,6 +1027,73 @@ ORACLES: dict[str, str] = {
         "sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(b.qv, b.qv)) "
         ">= 0.45"
     ),
+    "minhash_dedup_docs": (
+        f"WITH RECURSIVE {_CHAR5_SHINGLES}, {_SIG8}, {_BANDS8}, "
+        "cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
+        "  JOIN banded r ON l.band_idx = r.band_idx "
+        "  AND l.band_key = r.band_key AND l.id < r.id), "
+        "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c "
+        "  JOIN sh a ON a.id = c.id_a "
+        "  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle "
+        "  GROUP BY c.id_a, c.id_b), "
+        "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+        "edges AS (SELECT i.id_a AS a, i.id_b AS b FROM inter i "
+        "  JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b "
+        "  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.6), "
+        f"{_CC_CTE} "
+        "SELECT d.doc_id AS id, coalesce(c.component, d.doc_id) AS rep_id "
+        "FROM documents d LEFT JOIN comp c ON c.src = d.doc_id"
+    ),
+    "entity_canonical_map": (
+        "WITH RECURSIVE aliases AS (" + _alias_values_sql() + "), "
+        "norms AS (SELECT DISTINCT entity_uri, trim(regexp_replace("
+        f"  regexp_replace(lower(alias), '{_LEGAL_SUFFIXES_SQL}', '', 'g'), "
+        "  '\\s+', ' ', 'g')) AS n FROM aliases), "
+        "prof AS (SELECT entity_uri, string_agg(n, '|' ORDER BY n) AS profile "
+        "  FROM norms WHERE n <> '' GROUP BY entity_uri), "
+        "sh AS (SELECT DISTINCT entity_uri AS id, "
+        "  substring(profile, pos, 3) AS shingle FROM ("
+        "    SELECT entity_uri, profile, "
+        "    unnest(range(1, greatest(length(profile)-2, 1)+1)) AS pos "
+        "    FROM prof)), "
+        "inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter "
+        "  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id "
+        "  GROUP BY a.id, b.id), "
+        "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id), "
+        "edges AS (SELECT i.id_a AS a, i.id_b AS b FROM inter i "
+        "  JOIN sizes sa ON sa.id = i.id_a JOIN sizes sb ON sb.id = i.id_b "
+        "  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.8), "
+        f"{_CC_CTE} "
+        "SELECT u.entity_uri, coalesce(c.component, u.entity_uri) "
+        "AS canonical_id "
+        "FROM (SELECT DISTINCT entity_uri FROM aliases) u "
+        "LEFT JOIN comp c ON c.src = u.entity_uri"
+    ),
+    "ann_rhp_topk": (
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> "
+        "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv "
+        "  FROM embeddings), "
+        "planes AS (" + _planes_values_sql() + "), "
+        "sigbits AS (SELECT vec_id, p_idx, CASE WHEN "
+        "  list_dot_product(v.qv, p.plane) >= 0 THEN '1' ELSE '0' END AS bit "
+        "  FROM v CROSS JOIN planes p), "
+        "banded AS (SELECT vec_id, cast(p_idx//2 AS varchar) || ':' || "
+        "  string_agg(bit, '' ORDER BY p_idx) AS band_key "
+        "  FROM sigbits GROUP BY vec_id, p_idx//2), "
+        "cand AS (SELECT DISTINCT qb.vec_id AS query_id, b.vec_id FROM "
+        "  banded b JOIN banded qb ON b.band_key = qb.band_key "
+        "  WHERE qb.vec_id < 8), "
+        "scored AS (SELECT c.query_id, c.vec_id, "
+        "  list_dot_product(q.qv, v.qv) / "
+        "  sqrt(list_dot_product(q.qv, q.qv) * list_dot_product(v.qv, v.qv)) "
+        "  AS cosine_sim FROM cand c "
+        "  JOIN v ON v.vec_id = c.vec_id JOIN v q ON q.vec_id = c.query_id), "
+        "r AS (SELECT query_id, vec_id, cosine_sim, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) "
+        "  AS rnk FROM scored) "
+        'SELECT query_id, vec_id, cosine_sim, cast(rnk AS bigint) AS "rank" '
+        "FROM r WHERE rnk <= 10"
+    ),
     "multimodal_features": (
         # byte decoding from hex pairs: DuckDB hex() is uppercase → lower().
         # payload = encode(text) (UTF-8 bytes), identical to the Spark side's
@@ -993,6 +1161,9 @@ SPARK_QUERIES = {
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "entity_canonical_map": q_entity_canonical_map,
+    "ann_rhp_topk": q_ann_rhp_topk,
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,
 }
