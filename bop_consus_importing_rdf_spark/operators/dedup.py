@@ -225,11 +225,12 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs within hamming distance via 4-byte block LSH.
+    """32-bit variant — small corpora only; see :func:`simhash_near_pairs64`.
 
-    Splits the 32-bit hash into 4 bytes; near-dups (≤3 flipped bits) must
-    share ≥1 exact byte → self-join per byte block, then exact hamming
-    filter with ``bit_count``.
+    At ~10⁵+ docs a 32-bit hash saturates (birthday collisions → false
+    merges) and 8-bit blocks give only 256 distinct keys per block, so the
+    per-block self-join degenerates quadratically. The 64-bit/16-bit-block
+    variant below is the scale path.
     """
     blocks = simhashes.select(
         "id",
@@ -261,6 +262,114 @@ def simhash_near_pairs(simhashes: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.col("r.id").alias("id_b"),
             F.bit_count(
                 F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves: ``(id, simhash_hi, simhash_lo)``.
+
+    Token hash = md5 hex chars 1-8 (hi) and 9-16 (lo) — portable and
+    oracle-checkable; per-bit majority vote over tokens. Carrying the hash
+    as two sub-2³² longs sidesteps every engine's signed-64-bit overflow
+    dialect (``1<<63``) while keeping the full 64-bit discrimination the
+    32-bit variant lacks at corpus scale.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn(
+            "h_hi", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "h_lo", F.conv(F.substring(F.md5("tok"), 9, 8), 16, 10).cast("long")
+        )
+    )
+    bits = toks.select(
+        "id", "h_hi", "h_lo",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).withColumn(
+        "vote",
+        F.when(
+            F.when(
+                F.col("bit") < 32, F.expr("shiftright(h_lo, bit)")
+            ).otherwise(F.expr("shiftright(h_hi, bit - 32)")).bitwiseAND(1)
+            == 1,
+            1,
+        ).otherwise(-1),
+    )
+    return (
+        bits.groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .groupBy("id")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("v") > 0) & (F.col("bit") >= 32),
+                    F.expr("shiftleft(1L, bit - 32)"),
+                ).otherwise(0)
+            ).alias("simhash_hi"),
+            F.sum(
+                F.when(
+                    (F.col("v") > 0) & (F.col("bit") < 32),
+                    F.expr("shiftleft(1L, bit)"),
+                ).otherwise(0)
+            ).alias("simhash_lo"),
+        )
+    )
+
+
+def simhash_near_pairs64(
+    simhashes: DataFrame, max_hamming: int = 3
+) -> DataFrame:
+    """Near pairs via 4×16-bit block LSH over the 64-bit hash.
+
+    Pigeonhole: ≤3 flipped bits leave ≥1 of the 4 blocks identical. 16-bit
+    keys give 65 536 buckets per block — expected bucket size N/65 536, so
+    the per-block self-join stays near-linear far beyond the 8-bit variant's
+    256-bucket ceiling. Exact hamming = popcount over both halves.
+    """
+    blocks = simhashes.select(
+        "id",
+        "simhash_hi",
+        "simhash_lo",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"),
+                         F.shiftright("simhash_hi", 16).alias("key")),
+                F.struct(F.lit(1).alias("blk"),
+                         F.col("simhash_hi").bitwiseAND(65535).alias("key")),
+                F.struct(F.lit(2).alias("blk"),
+                         F.shiftright("simhash_lo", 16).alias("key")),
+                F.struct(F.lit(3).alias("blk"),
+                         F.col("simhash_lo").bitwiseAND(65535).alias("key")),
+            )
+        ).alias("b"),
+    ).select("id", "simhash_hi", "simhash_lo", "b.blk", "b.key")
+    l, r = blocks.alias("l"), blocks.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            (
+                F.bit_count(
+                    F.col("l.simhash_hi").bitwiseXOR(F.col("r.simhash_hi"))
+                )
+                + F.bit_count(
+                    F.col("l.simhash_lo").bitwiseXOR(F.col("r.simhash_lo"))
+                )
             ).alias("hamming"),
         )
         .distinct()

@@ -574,6 +574,27 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(docs, "doc_id", "text")
 
 
+def q_simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash64
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash64(docs, "doc_id", "text")
+
+
+def q_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe SimHash pair stage (64-bit hash, 4×16-bit LSH blocks),
+    oracle-checked end to end: block bucketing, the self-join, and the exact
+    hamming filter. max_hamming=3 yields ~12 true near-dup pairs on the
+    sf0.01 fixture."""
+    from .operators.dedup import simhash64, simhash_near_pairs64
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs64(simhash64(docs, "doc_id", "text"), max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("long"))
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (quantized-exact, threshold 0.45 —
     calibrated so the synthetic fixture yields a non-trivial pair set).
@@ -812,6 +833,43 @@ def _planes_values_sql(n_planes: int = 16, dim: int = 64, seed: int = 42) -> str
 _LEGAL_SUFFIXES_SQL = r"\b(corp|corporation|inc|incorporated|ltd|llc|gmbh|co|the)\b"
 
 
+def _hex_bit(hx: str, bit: str) -> str:
+    """Bit ``bit`` (0-31) of the 32-bit int encoded by hex string ``hx``:
+    extracted with pure arithmetic from the hex digit (no hex→int builtin)."""
+    return (
+        f"cast(floor((strpos('0123456789abcdef', "
+        f"substring({hx}, cast(8 - ({bit})//4 AS int), 1)) - 1) "
+        f"/ (1 << (({bit}) % 4))) AS bigint) % 2"
+    )
+
+
+# 64-bit simhash as two 32-bit halves (md5 hex chars 1-8 = hi, 9-16 = lo);
+# mirrors operators/dedup.py::simhash64 digit-for-digit
+_SIMHASH64_SIG_CTE = (
+    "toks AS (SELECT doc_id AS id, "
+    "  unnest(string_split_regex(lower(text), '\\s+')) AS tok "
+    "  FROM documents), "
+    "h AS (SELECT id, substring(md5(tok), 1, 8) AS hx_hi, "
+    "  substring(md5(tok), 9, 8) AS hx_lo FROM toks WHERE tok <> ''), "
+    "bits AS (SELECT id, hx_hi, hx_lo, unnest(range(0, 64)) AS bit FROM h), "
+    "bitvals AS (SELECT id, bit, CASE WHEN bit < 32 THEN "
+    + _hex_bit("hx_lo", "bit")
+    + " ELSE "
+    + _hex_bit("hx_hi", "bit - 32")
+    + " END AS bv FROM bits), "
+    "votes AS (SELECT id, bit, sum(2*bv - 1) AS v FROM bitvals "
+    "  GROUP BY id, bit), "
+    "sig AS (SELECT id, "
+    "  cast(sum(CASE WHEN v > 0 AND bit >= 32 "
+    "    THEN (cast(1 AS bigint) << cast(bit - 32 AS int)) ELSE 0 END) "
+    "  AS bigint) AS simhash_hi, "
+    "  cast(sum(CASE WHEN v > 0 AND bit < 32 "
+    "    THEN (cast(1 AS bigint) << cast(bit AS int)) ELSE 0 END) "
+    "  AS bigint) AS simhash_lo "
+    "  FROM votes GROUP BY id)"
+)
+
+
 ORACLES: dict[str, str] = {
     "nt_render": (
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
@@ -1014,6 +1072,29 @@ ORACLES: dict[str, str] = {
         "THEN (cast(1 AS bigint) << bit) ELSE 0 END) AS bigint) AS simhash "
         "FROM votes GROUP BY id"
     ),
+    "simhash64_docs": (
+        "WITH " + _SIMHASH64_SIG_CTE
+        + " SELECT id, simhash_hi, simhash_lo FROM sig"
+    ),
+    "simhash_near_pairs": (
+        "WITH " + _SIMHASH64_SIG_CTE + ", "
+        "blocks AS ("
+        "  SELECT id, simhash_hi, simhash_lo, 0 AS blk, "
+        "    simhash_hi // 65536 AS key FROM sig "
+        "  UNION ALL SELECT id, simhash_hi, simhash_lo, 1, "
+        "    simhash_hi % 65536 FROM sig "
+        "  UNION ALL SELECT id, simhash_hi, simhash_lo, 2, "
+        "    simhash_lo // 65536 FROM sig "
+        "  UNION ALL SELECT id, simhash_hi, simhash_lo, 3, "
+        "    simhash_lo % 65536 FROM sig), "
+        "pairs AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b, "
+        "  cast(bit_count(xor(l.simhash_hi, r.simhash_hi)) "
+        "     + bit_count(xor(l.simhash_lo, r.simhash_lo)) AS bigint) "
+        "  AS hamming "
+        "  FROM blocks l JOIN blocks r "
+        "  ON l.blk = r.blk AND l.key = r.key AND l.id < r.id) "
+        "SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3"
+    ),
     "embedding_near_dup": (
         "WITH v AS (SELECT vec_id, list_transform(embedding, x -> "
         "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv "
@@ -1161,6 +1242,8 @@ SPARK_QUERIES = {
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "simhash64_docs": q_simhash64_docs,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "entity_canonical_map": q_entity_canonical_map,
     "ann_rhp_topk": q_ann_rhp_topk,

@@ -75,6 +75,24 @@ def test_jaccard_exactness(spark):
     assert (1, 3) not in got  # zero intersection never materializes
 
 
+def test_simhash64_near_pairs(spark):
+    from bop_consus_importing_rdf_spark.operators.dedup import (
+        simhash64,
+        simhash_near_pairs64,
+    )
+
+    out = simhash64(_docs(spark), "id", "text")
+    rows = {r.id: (r.simhash_hi, r.simhash_lo) for r in out.collect()}
+    # both halves stay below 2^32 (two-halves representation invariant)
+    assert all(0 <= hi < 2**32 and 0 <= lo < 2**32 for hi, lo in rows.values())
+    assert rows[1] == rows[2]  # identical docs → identical 64-bit hash
+    pairs = simhash_near_pairs64(out, max_hamming=16)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 2)] == 0
+    # unrelated docs never surface below the hamming cut
+    assert all({a, b} != {4, 5} for a, b in got)
+
+
 def test_simhash_near_pairs(spark):
     out = simhash32(_docs(spark), "id", "text")
     hashes = {r.id: r.simhash for r in out.collect()}
