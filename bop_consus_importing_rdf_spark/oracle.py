@@ -37,6 +37,9 @@ from .vocab import (
     DCAT_DATASET,
     DCAT_DATASET_PROP,
     DCT_IDENTIFIER,
+    HYDRA_NEXT_PAGE,
+    HYDRA_PAGED_COLLECTION,
+    HYDRA_TOTAL_ITEMS,
     RDF_TYPE,
     XSD_NS,
 )
@@ -119,15 +122,47 @@ SELECT 'doc-' || (r.r_regionkey % 8), 'urn:region:' || r.r_regionkey,
        r.r_name || chr(10) || chr(34) || 'q' || chr(92) || chr(9),
        'literal', {_NULLS}
 FROM region r
+UNION ALL
+SELECT DISTINCT doc, 'urn:hydra:' || doc, '{RDF_TYPE}',
+       '{HYDRA_PAGED_COLLECTION}', 'iri', {_NULLS}
+FROM base
+UNION ALL
+SELECT DISTINCT doc, 'urn:hydra:' || doc, '{HYDRA_TOTAL_ITEMS}',
+       '' || (500 + (k % 8)), 'literal',
+       cast(null as string), '{XSD_INTEGER}'
+FROM base WHERE (k % 8) % 2 = 0
+UNION ALL
+SELECT DISTINCT doc, 'urn:hydra:' || doc, '{HYDRA_NEXT_PAGE}',
+       'http://wrong.example:1234/broken/path?page=' || ((k % 8) + 2)
+       || chr(38) || 'size=100',
+       'iri', {_NULLS}
+FROM base
 """
 
 RDF_GRAPH_SQL = f"WITH base AS ({_BASE_SQL}) {_GRAPH_SELECT_SQL}"
 
-DOC_TOTALS_SQL = """
+# deterministic "fetched from" URL per source document — the input the
+# brokenHydra rewrite grafts the advertised query string onto
+ADDRESSES_SQL = """
 SELECT DISTINCT 'doc-' || (o_orderkey % 8) AS doc_id,
-       CASE WHEN (o_orderkey % 8) % 2 = 0
-            THEN 500 + (o_orderkey % 8) ELSE 0 END AS hydra_total
+       'https://data.example/api/doc-' || (o_orderkey % 8) || '?page=1'
+       AS address
 FROM orders
+"""
+
+# hydra:totalItems of each doc's PagedCollection, from the graph itself
+_HYDRA_TOTALS_CTE = f"""
+pc AS (
+  SELECT DISTINCT doc_id, subj FROM graph
+  WHERE pred = '{RDF_TYPE}' AND obj_value = '{HYDRA_PAGED_COLLECTION}'
+),
+totals AS (
+  SELECT p.doc_id, min(cast(g.obj_value AS bigint)) AS hydra_total
+  FROM pc p JOIN graph g
+  ON g.doc_id = p.doc_id AND g.subj = p.subj
+  AND g.pred = '{HYDRA_TOTAL_ITEMS}'
+  GROUP BY p.doc_id
+)
 """
 
 # recursive closure + split, DuckDB side (mirrors operators/split.py exactly).
@@ -371,7 +406,11 @@ def q_total_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     ds = datasets.join(doc_of, "subj")
-    doc_totals = spark.sql(DOC_TOTALS_SQL)
+    # totals DERIVED from hydra markup in the triple data itself
+    # (HydraPaging.findPaging semantics) — no pre-extracted side input
+    from .operators.hydra import hydra_totals
+
+    doc_totals = hydra_totals(g)
     # fallback total = PRE-filter dataset-subject count per page: the
     # reference takes datasets.size (Flows.kt:105-106) before the
     # identifier/blank/empty filters run, NOT the surviving-dataset count
@@ -383,6 +422,23 @@ def q_total_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "total")
         .distinct()
     )
+
+
+def q_hydra_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.hydra import hydra_totals
+
+    return hydra_totals(_graph(spark, sf_dir))
+
+
+def q_hydra_next_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brokenHydra path: the advertised next link carries a wrong
+    scheme/host/path (the fixture plants ``http://wrong.example:1234``);
+    only its query string survives, grafted onto the real fetch address."""
+    from .operators.hydra import hydra_next_pages
+
+    g = _graph(spark, sf_dir)
+    addresses = spark.sql(ADDRESSES_SQL)
+    return hydra_next_pages(g, addresses, broken_hydra=True)
 
 
 def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -926,12 +982,31 @@ ORACLES: dict[str, str] = {
         # pre-filter count (Flows.kt:105-106): ALL dataset-typed subjects of
         # the page, not just the post-F3/F4 survivors
         f"actual AS (SELECT doc_id, count(*) AS n FROM doc_of GROUP BY doc_id),"
-        f"totals AS ({DOC_TOTALS_SQL}) "
+        f"{_HYDRA_TOTALS_CTE} "
         f"SELECT DISTINCT dd.doc_id, "
         f"cast(CASE WHEN t.hydra_total > 0 THEN t.hydra_total ELSE a.n END "
         f"AS bigint) AS total "
         f"FROM ds_docs dd LEFT JOIN totals t ON t.doc_id = dd.doc_id "
         f"LEFT JOIN actual a ON a.doc_id = dd.doc_id"
+    ),
+    "hydra_totals": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}), {_HYDRA_TOTALS_CTE} "
+        "SELECT doc_id, hydra_total FROM totals"
+    ),
+    "hydra_next_pages": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}), "
+        f"pc AS (SELECT DISTINCT doc_id, subj FROM graph "
+        f"  WHERE pred = '{RDF_TYPE}' "
+        f"  AND obj_value = '{HYDRA_PAGED_COLLECTION}'), "
+        f"nx AS (SELECT p.doc_id, min(g.obj_value) AS next_raw "
+        f"  FROM pc p JOIN graph g ON g.doc_id = p.doc_id "
+        f"  AND g.subj = p.subj AND g.pred = '{HYDRA_NEXT_PAGE}' "
+        f"  GROUP BY p.doc_id), "
+        f"addr AS ({ADDRESSES_SQL}) "
+        "SELECT n.doc_id, "
+        "regexp_replace(a.address, '\\?.*$', '') || "
+        "regexp_extract(n.next_raw, '(\\?.*)$', 1) AS next_page "
+        "FROM nx n LEFT JOIN addr a ON a.doc_id = n.doc_id"
     ),
     "canonical_hash": _oracle_split_suffix(
         f"SELECT dataset_id, sha256(string_agg({sql_nt_line()}, chr(10) "
@@ -1227,6 +1302,8 @@ SPARK_QUERIES = {
     "manifest": q_manifest,
     "duplicate_warnings": q_duplicate_warnings,
     "total_resolution": q_total_resolution,
+    "hydra_totals": q_hydra_totals,
+    "hydra_next_pages": q_hydra_next_pages,
     "canonical_hash": q_canonical_hash,
     "doc_mentions": q_doc_mentions,
     "doc_entity_links": q_doc_entity_links,

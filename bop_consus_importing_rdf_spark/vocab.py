@@ -26,6 +26,13 @@ KIND_IRI = "iri"
 KIND_BNODE = "bnode"
 KIND_LITERAL = "literal"
 
+# Hydra paging vocabulary (reference: HydraPaging.findPaging from
+# piveau-utils, consumed at Flows.kt:83-86)
+HYDRA_NS = "http://www.w3.org/ns/hydra/core#"
+HYDRA_PAGED_COLLECTION = HYDRA_NS + "PagedCollection"
+HYDRA_TOTAL_ITEMS = HYDRA_NS + "totalItems"
+HYDRA_NEXT_PAGE = HYDRA_NS + "nextPage"
+
 # namespace for entities/predicates minted by the KG-construction extension
 KG_NS = "urn:kg:"
 KG_MENTIONS = KG_NS + "pred:mentions"
