@@ -28,6 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.formats import (
+    prefix_directives as _ttl_prefix_directives,
+)
+from .functions.formats import (
+    sql_jsonld_line,
+    sql_nq_line,
+    sql_ttl_line,
+)
 from .functions.identify import sql_identify
 from .functions.ntriples import nt_line, sql_nt_line
 from .operators.textstats import BPE_TOKEN_PATTERN, LANG_MARKERS
@@ -300,6 +308,73 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_nt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     return g.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
+def q_ttl_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turtle serialization (S10): @prefix directives + prefixed-name triple
+    lines, `a` for rdf:type — one output row per line."""
+    from .functions.formats import prefix_directives, ttl_line
+
+    g = _graph(spark, sf_dir)
+    directives = spark.createDataFrame(
+        [(d,) for d in prefix_directives()], "line string"
+    )
+    lines = g.select(
+        ttl_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+    return directives.union(lines)
+
+
+def q_nquads_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.formats import nq_line
+
+    g = _graph(spark, sf_dir)
+    return g.select(
+        nq_line(
+            F.col("doc_id"), F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
+def q_trig_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.formats import trig_docs
+
+    return trig_docs(_graph(spark, sf_dir))
+
+
+def q_jsonld_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .functions.formats import jsonld_line
+
+    g = _graph(spark, sf_dir)
+    return g.select(
+        jsonld_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
+def q_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the fixture graph to RDF/XML documents, parse them back with
+    the native RDF/XML reader, and emit N-Triples lines. The oracle is
+    ``nt_render`` straight off the graph — so the driver's hash compare
+    proves render ∘ parse == id statement-for-statement (escaping, blank
+    labels, language tags, datatypes included)."""
+    from .functions.rdfxml import parse_rdfxml, render_rdfxml_docs
+
+    g = _graph(spark, sf_dir)
+    docs = render_rdfxml_docs(g, doc_col="doc_id")
+    parsed = parse_rdfxml(docs, xml_col="xml", carry_cols=("doc_id",))
+    return parsed.select(
         nt_line(
             F.col("subj"), F.col("pred"), F.col("obj_value"),
             F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
@@ -931,6 +1006,31 @@ ORACLES: dict[str, str] = {
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
         f"SELECT {sql_nt_line()} AS line FROM graph"
     ),
+    "rdfxml_roundtrip": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT {sql_nt_line()} AS line FROM graph"
+    ),
+    "ttl_render": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        + "SELECT line FROM (VALUES "
+        + ", ".join(f"('{d}')" for d in _ttl_prefix_directives())
+        + ") d(line) UNION ALL "
+        f"SELECT {sql_ttl_line()} AS line FROM graph"
+    ),
+    "nquads_render": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT {sql_nq_line()} AS line FROM graph"
+    ),
+    "trig_render": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT doc_id, '<urn:graph:'||doc_id||'> {{'||chr(10)||"
+        f"string_agg({sql_ttl_line()}, chr(10) ORDER BY {sql_ttl_line()})"
+        f"||chr(10)||'}}' AS trig FROM graph GROUP BY doc_id"
+    ),
+    "jsonld_render": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT {sql_jsonld_line()} AS line FROM graph"
+    ),
     "dataset_subjects": (
         f"WITH graph AS ({RDF_GRAPH_SQL}), cleaned AS ("
         f"  SELECT * FROM graph WHERE NOT (pred = '{RDF_TYPE}' "
@@ -1295,6 +1395,11 @@ ORACLES: dict[str, str] = {
 
 SPARK_QUERIES = {
     "nt_render": q_nt_render,
+    "rdfxml_roundtrip": q_rdfxml_roundtrip,
+    "ttl_render": q_ttl_render,
+    "nquads_render": q_nquads_render,
+    "trig_render": q_trig_render,
+    "jsonld_render": q_jsonld_render,
     "dataset_subjects": q_dataset_subjects,
     "identify_flags": q_identify_flags,
     "split_datasets": q_split_datasets,

@@ -1,0 +1,102 @@
+"""RDF/XML render + parse: golden doc, subset guards, round-trip."""
+
+from __future__ import annotations
+
+import pytest
+
+from bop_consus_importing_rdf_spark.functions.rdfxml import (
+    _parse_doc,
+    parse_rdfxml,
+    render_rdfxml_docs,
+)
+
+# hand-written catalogue page in the style a DCAT harvester meets: typed
+# node element, rdf:Description, nested anonymous node, inherited xml:lang
+GOLDEN = """<?xml version="1.0" encoding="utf-8"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:dcat="http://www.w3.org/ns/dcat#"
+         xmlns:dct="http://purl.org/dc/terms/" xml:lang="de">
+  <dcat:Dataset rdf:about="urn:ds:1">
+    <dct:identifier rdf:datatype="http://www.w3.org/2001/XMLSchema#string">id-1</dct:identifier>
+    <dct:title>Titel &amp; mehr</dct:title>
+    <dct:title xml:lang="en">Title</dct:title>
+    <dct:publisher>
+      <rdf:Description>
+        <dct:name xml:lang="">Acme</dct:name>
+      </rdf:Description>
+    </dct:publisher>
+    <dcat:distribution rdf:resource="urn:dist:1"/>
+    <dct:relation rdf:nodeID="b7"/>
+  </dcat:Dataset>
+</rdf:RDF>"""
+
+
+def test_parse_golden():
+    rows = set(_parse_doc(GOLDEN))
+    dct = "http://purl.org/dc/terms/"
+    assert (
+        "urn:ds:1", "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+        "http://www.w3.org/ns/dcat#Dataset", "iri", None, None,
+    ) in rows
+    # typed literal: datatype suppresses the inherited language
+    assert (
+        "urn:ds:1", dct + "identifier", "id-1", "literal", None,
+        "http://www.w3.org/2001/XMLSchema#string",
+    ) in rows
+    # inherited xml:lang from rdf:RDF
+    assert ("urn:ds:1", dct + "title", "Titel & mehr", "literal", "de", None) in rows
+    # local xml:lang overrides
+    assert ("urn:ds:1", dct + "title", "Title", "literal", "en", None) in rows
+    assert (
+        "urn:ds:1", "http://www.w3.org/ns/dcat#distribution", "urn:dist:1",
+        "iri", None, None,
+    ) in rows
+    assert ("urn:ds:1", dct + "relation", "_:b7", "bnode", None, None) in rows
+    # nested anonymous node: dataset → genid bnode → name literal
+    pub = [r for r in rows if r[1] == dct + "publisher"]
+    assert len(pub) == 1 and pub[0][3] == "bnode"
+    bn = pub[0][2]
+    # xml:lang="" cancels inheritance (empty → no tag)
+    name = [r for r in rows if r[0] == bn and r[1] == dct + "name"]
+    assert name == [(bn, dct + "name", "Acme", "literal", "", None)]
+
+
+@pytest.mark.parametrize(
+    "snippet,needle",
+    [
+        ('<rdf:Description rdf:ID="frag"/>', "rdf:ID"),
+        (
+            '<rdf:Description rdf:about="u:1">'
+            '<d:p xmlns:d="u:" rdf:parseType="Resource"/></rdf:Description>',
+            "parseType",
+        ),
+    ],
+)
+def test_unsupported_subset_raises(snippet, needle):
+    doc = (
+        '<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        + snippet + "</rdf:RDF>"
+    )
+    with pytest.raises(ValueError, match=needle):
+        _parse_doc(doc)
+
+
+def test_render_parse_roundtrip_spark(spark):
+    rows = [
+        ("d0", "urn:s:1", "urn:p:name", 'tricky "literal"\n\t<&>', "literal",
+         None, None),
+        ("d0", "urn:s:1", "urn:p:lang", "hallo", "literal", "de", None),
+        ("d0", "urn:s:1", "urn:p:count", "42", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        ("d0", "urn:s:1", "urn:p:link", "urn:o:1", "iri", None, None),
+        ("d0", "_:b1", "urn:p:backref", "_:b2", "bnode", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string, obj_datatype string",
+    )
+    docs = render_rdfxml_docs(df)
+    back = parse_rdfxml(docs, carry_cols=("doc_id",))
+    got = {tuple(r) for r in back.collect()}
+    assert got == {tuple(r) for r in rows}
