@@ -60,6 +60,7 @@ def main() -> None:
         synth_transcripts,
     )
     from bop_consus_importing_rdf_spark.oracle import SPARK_QUERIES
+    from bop_consus_importing_rdf_spark.sources.rdf_io import parse_ntriples
 
     # scale the synthetic transcript corpus with the sf tables
     import duckdb
@@ -103,6 +104,13 @@ def main() -> None:
         ),
         "events_sessionize": lambda: materialize(
             SPARK_QUERIES["events_sessionize"](spark, sf_dir)
+        ),
+        "nt_parse": lambda: materialize(
+            parse_ntriples(
+                SPARK_QUERIES["nt_render"](spark, sf_dir).withColumnRenamed(
+                    "line", "value"
+                )
+            )
         ),
     }
     if args.only:

@@ -211,12 +211,19 @@ PARSED_SCHEMA = (
 
 
 def parse_rdfxml(
-    docs: DataFrame, xml_col: str = "xml", carry_cols: tuple[str, ...] = ()
+    docs: DataFrame,
+    xml_col: str = "xml",
+    carry_cols: tuple[str, ...] = (),
+    keep_malformed: bool = False,
 ) -> DataFrame:
     """Whole RDF/XML documents → statement rows, Arrow-batched.
 
     ``carry_cols`` (e.g. the source doc id) are replicated onto every
-    emitted statement row.
+    emitted statement row. ``keep_malformed=True`` mirrors
+    ``parse_ntriples``'s lineage behavior: an unparseable document yields
+    ONE reject row (``obj_kind`` NULL, the error text in ``obj_value``)
+    instead of failing the task — the reference rethrows with address
+    context (``Flows.kt:75-77``); here the address IS the carry column.
     """
     carry = list(carry_cols)
     schema = PARSED_SCHEMA
@@ -224,14 +231,25 @@ def parse_rdfxml(
         schema = f"{c} string, " + schema
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import xml.etree.ElementTree as ET
+
         cols = carry + [
             "subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"
         ]
         for pdf in it:
             out: list[tuple] = []
             for _, row in pdf.iterrows():
-                parsed = _parse_doc(row[xml_col])
                 prefix = tuple(row[c] for c in carry)
+                try:
+                    parsed = _parse_doc(row[xml_col])
+                except (ET.ParseError, ValueError) as e:
+                    if not keep_malformed:
+                        raise
+                    out.append(
+                        prefix + (None, None, f"{type(e).__name__}: {e}",
+                                  None, None, None)
+                    )
+                    continue
                 out.extend(prefix + r for r in parsed)
             yield pd.DataFrame(out, columns=cols)
 

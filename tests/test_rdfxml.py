@@ -81,6 +81,20 @@ def test_unsupported_subset_raises(snippet, needle):
         _parse_doc(doc)
 
 
+def test_keep_malformed_emits_reject_row(spark):
+    docs = spark.createDataFrame(
+        [("good", GOLDEN), ("bad", "<rdf:RDF><unclosed")],
+        "doc_id string, xml string",
+    )
+    out = parse_rdfxml(docs, carry_cols=("doc_id",), keep_malformed=True)
+    rejects = out.filter(out.obj_kind.isNull()).collect()
+    assert len(rejects) == 1
+    assert rejects[0].doc_id == "bad"
+    assert "ParseError" in rejects[0].obj_value
+    # the good document still parsed fully alongside the reject
+    assert out.filter(out.obj_kind.isNotNull()).count() >= 8
+
+
 def test_render_parse_roundtrip_spark(spark):
     rows = [
         ("d0", "urn:s:1", "urn:p:name", 'tricky "literal"\n\t<&>', "literal",
