@@ -81,6 +81,12 @@ def main() -> None:
 
     def bench_kg_pipeline():
         materialize(build_kg(spark, transcripts, aliases)["triples"])
+        # the transcript cache and build_kg's persisted UDF subtree are dead
+        # weight for every later query — dropping them here keeps the
+        # remaining timings free of their GC pressure (checkpointed RDD
+        # blocks used by the split-family queries are unaffected)
+        transcripts.unpersist()
+        spark.catalog.clearCache()
 
     headline = {
         "kg_pipeline": bench_kg_pipeline,
