@@ -71,9 +71,15 @@ def main() -> None:
     # sf0.1 (600k lineitems) → 20k conversations ≈ 240k turns (FIXTURES.md)
     n_conv = args.n_conv or max(200, n_li // 30)
 
+    need_kg = args.only is None or "kg_pipeline" in args.only.split(",")
     aliases = alias_table(spark)
-    transcripts = synth_transcripts(spark, n_conv=n_conv, seed=42).cache()
-    n_turns = transcripts.count()  # also warms the cache
+    if need_kg:
+        transcripts = synth_transcripts(spark, n_conv=n_conv, seed=42).cache()
+        n_turns = transcripts.count()  # also warms the cache
+    else:
+        # don't park a dead transcript cache in the heap for --only runs
+        # that never touch the KG pipeline
+        transcripts, n_turns = None, n_conv * 12
 
     if args.warmup:
         small = synth_transcripts(spark, n_conv=200, seed=1)

@@ -78,16 +78,15 @@ def split_datasets(
     ds_closure = closure.join(
         named.select(F.col("subj").alias("root")), "root", "left_semi"
     )
-    # partitioned by dataset_id ALONE: every downstream consumer that
-    # matters — the F4 distinct, the per-dataset triple counts, and
-    # canonical_hash's groupBy(dataset_id) — clusters on dataset_id, so a
-    # single-column hash partitioning makes them all exchange-free (a
-    # (dataset_id, subj) hash satisfies none of them)
-    ds_triples = (
-        subgraph_triples(t, ds_closure, root_alias="dataset_id")
-        .repartition(F.col("dataset_id"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # NO repartition before the checkpoint: localCheckpoint drops
+    # outputPartitioning (Scan ExistingRDD — verified empirically), so a
+    # pre-checkpoint repartition(dataset_id) is a pure wasted wide shuffle.
+    # Downstream groupBy(dataset_id) consumers shuffle off the checkpoint,
+    # but F4's distinct and the triple counts reduce map-side first — their
+    # exchanges carry ~one row per dataset, not the statement table.
+    ds_triples = subgraph_triples(
+        t, ds_closure, root_alias="dataset_id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # J3: nested-catalogue subtraction — faithful to the reference, which
     # iterates ALL catalogue-typed resources of the extracted model
