@@ -802,6 +802,23 @@ def q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (sampled centroids, integer L2² assignment, quantized
+    cosine re-rank) — the second scale-path ANN shape next to the RHP-LSH
+    variant, fully oracle-checked."""
+    from .operators.similarity import ivf_topk
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries_df, k=10, n_cells=16, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("long")
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing, fully oracle-checked.
 
@@ -1350,6 +1367,36 @@ ORACLES: dict[str, str] = {
         'SELECT query_id, vec_id, cosine_sim, cast(rnk AS bigint) AS "rank" '
         "FROM r WHERE rnk <= 10"
     ),
+    "ivf_topk": (
+        # integer L2² distances: values ≤ (2000)²·64 ≈ 2.6e8 — exact in the
+        # doubles list_dot_product returns, so argmin ties break identically
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> "
+        "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv "
+        "  FROM embeddings), "
+        "cents AS (SELECT vec_id AS cell, qv AS cv FROM v "
+        "  ORDER BY vec_id LIMIT 16), "
+        "assign AS (SELECT vec_id, qv, cell FROM ("
+        "  SELECT a.vec_id, a.qv, c.cell, row_number() OVER ("
+        "    PARTITION BY a.vec_id ORDER BY "
+        "    list_dot_product(a.qv, a.qv) - 2*list_dot_product(a.qv, c.cv) "
+        "    + list_dot_product(c.cv, c.cv) ASC, c.cell ASC) AS r "
+        "  FROM v a CROSS JOIN cents c) WHERE r = 1), "
+        "probes AS (SELECT query_id, qv AS pq, cell FROM ("
+        "  SELECT q.vec_id AS query_id, q.qv, c.cell, row_number() OVER ("
+        "    PARTITION BY q.vec_id ORDER BY "
+        "    list_dot_product(q.qv, q.qv) - 2*list_dot_product(q.qv, c.cv) "
+        "    + list_dot_product(c.cv, c.cv) ASC, c.cell ASC) AS r "
+        "  FROM v q CROSS JOIN cents c WHERE q.vec_id < 8) WHERE r <= 4), "
+        "scored AS (SELECT p.query_id, a.vec_id, "
+        "  list_dot_product(a.qv, p.pq) / "
+        "  sqrt(list_dot_product(a.qv, a.qv) * list_dot_product(p.pq, p.pq)) "
+        "  AS cosine_sim FROM assign a JOIN probes p ON p.cell = a.cell), "
+        "r AS (SELECT query_id, vec_id, cosine_sim, row_number() OVER ("
+        "  PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) "
+        "  AS rnk FROM scored) "
+        'SELECT query_id, vec_id, cosine_sim, cast(rnk AS bigint) AS "rank" '
+        "FROM r WHERE rnk <= 10"
+    ),
     "multimodal_features": (
         # byte decoding from hex pairs: DuckDB hex() is uppercase → lower().
         # payload = encode(text) (UTF-8 bytes), identical to the Spark side's
@@ -1429,6 +1476,7 @@ SPARK_QUERIES = {
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "entity_canonical_map": q_entity_canonical_map,
     "ann_rhp_topk": q_ann_rhp_topk,
+    "ivf_topk": q_ivf_topk,
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,
 }

@@ -46,6 +46,23 @@ def test_ann_recall_vs_exact(spark, vectors, queries):
     assert recall >= 0.8, f"ANN recall {recall}"
 
 
+def test_ivf_recall_and_cell_structure(spark, vectors, queries):
+    from bop_consus_importing_rdf_spark.operators.similarity import ivf_topk
+
+    k = 10
+    exact = cosine_topk(vectors, queries, k=k)
+    ivf = ivf_topk(vectors, queries, k=k, n_cells=16, n_probe=4).cache()
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    # probing 4/16 cells: coarse quantization should still capture most of
+    # the true top-k (0.90 measured at sf0.01); gate conservatively
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # a query's own vector lives in a probed cell → self is always rank 1
+    top1 = {r.query_id: r.vec_id for r in ivf.filter(F.col("rank") == 1).collect()}
+    assert top1 == {q: q for q in range(5)}
+
+
 def test_ann_never_scores_worse_candidates_higher(spark, vectors, queries):
     ann = rhp_ann_topk(vectors, queries, k=3, n_planes=16, bands=8, dim=64)
     for q in range(5):
