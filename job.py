@@ -45,7 +45,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("kg-construct").getOrCreate()
+    # under spark-submit an existing session (with cluster-sized configs)
+    # is picked up as-is; standalone local runs get the tuned factory
+    # instead of the stock 200 shuffle partitions
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        spark = active
+    else:
+        from bop_consus_importing_rdf_spark.session import get_spark
+
+        spark = get_spark("kg-construct")
     spark.sparkContext.setLogLevel("WARN")
 
     from bop_consus_importing_rdf_spark.kg.synth import (
