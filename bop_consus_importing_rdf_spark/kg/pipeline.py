@@ -5,7 +5,10 @@ collect loop, reference ``ImportingRdfVerticle.kt:59-96``) with one Spark
 batch DAG:
 
     transcripts ─ stable order (ONE wide shuffle) ─ fused mention/relation
-      pandas UDF ─ map-lookup linking (canonicalization composed in:
+      extraction (resource-aware physical strategy: JVM regexp codegen on
+      fully-subscribed machines, Arrow pandas UDF when idle cores exist
+      for Python workers — identical semantics, see kg/mentions.py) ─
+      map-lookup linking (canonicalization composed in:
       MinHash→LSH→Jaccard→CC over the gazetteer) ─ per-turn triple arrays
       exploded narrowly ─ relation-only conv-level dedup (small shuffle)
       → datasets / manifest / N-Triples render
@@ -17,8 +20,9 @@ from ``ImportingRdfVerticle.kt:84-96`` incl. duplicates-kept (J4).
 
 Scale notes: the only driver-side loop is the CC fixpoint (O(log d)
 iterations, skipped for broadcast-scale dictionaries). The extraction path
-moves the corpus through exactly one wide shuffle (stable ordering) and one
-Arrow round-trip; only relation triples — the one kind that can duplicate
+moves the corpus through exactly one wide shuffle (stable ordering) and at
+most one Arrow round-trip (none on the JVM extraction strategy); only
+relation triples — the one kind that can duplicate
 across turns — pay a dedup shuffle. ``rewrite_canonical`` remains the
 at-scale path for entity dictionaries too large to compose into the
 linking map. Hot conversations spread across partitions because the
@@ -39,7 +43,7 @@ from ..operators.manifest import with_counter
 from ..vocab import KG_NS, RDF_TYPE, XSD_NS
 from .blocking import entity_similarity_edges
 from .cc import connected_components
-from .mentions import extract_mentions_and_relations
+from .mentions import extract_mentions_and_relations, pick_extraction_engine
 
 PRED_MENTIONS = KG_NS + "pred:mentions"
 PRED_RELEASED = KG_NS + "pred:released"
@@ -127,6 +131,7 @@ def extract_candidate_triples(
     aliases: DataFrame,
     alias_list: list[str],
     entity_map: dict[str, str] | None = None,
+    engine: str | None = None,
 ) -> DataFrame:
     """Per-turn triple extraction: mention, relation, year, text, type rows.
 
@@ -152,11 +157,17 @@ def extract_candidate_triples(
 
     turn_uri = _turn_uri()
     # persisted: the per-turn branch and the relation branch both scan this
-    # — without persistence the Arrow UDF subtree would execute twice
-    # (MEMORY_AND_DISK: spills rather than OOMs; at cluster scale the
-    # resume layer's bucket parquet plays this role instead)
+    # — without persistence the extraction subtree (4 regex passes over the
+    # corpus text) would execute twice (MEMORY_AND_DISK: spills rather than
+    # OOMs; at cluster scale the resume layer's bucket parquet plays this
+    # role instead)
     with_m = turns.withColumn(
-        "_mr", extract_mentions_and_relations(F.col("text"), alias_list)
+        "_mr",
+        extract_mentions_and_relations(
+            F.col("text"),
+            alias_list,
+            engine or pick_extraction_engine(turns.sparkSession),
+        ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     mention_structs = F.transform(
         F.array_distinct(

@@ -81,7 +81,7 @@ parallelism levels.
 {rows}
 
 **N=2 vs 4N=8: scaling efficiency = throughput(8) / (4 x throughput(2)) =
-{eff_2_8}** (target >= 0.8 — MET)
+{eff_2_8}** (target >= 0.8 — {"MET" if eff_2_8 >= 0.8 else "NOT MET"})
 
 8 vs 32 on this box: {eff_8_32}. A single machine has ONE memory bus and
 one NVMe shared by all threads; at 32 threads the pipeline saturates
@@ -94,6 +94,14 @@ measures.
 Reference envelope (BASELINE.md): the reference's pulse throttle caps it at
 ~66.7 datasets/sec on 1 CPU, strictly sequential per catalogue. This
 pipeline sustains {tp[8]:,.0f} turns/sec on 8 cores.
+
+Extraction physical strategy (kg/mentions.py): at local[2]/local[8] the
+undersubscribed box lets Arrow Python workers run on idle cores, so the
+resource-aware selector picks the pandas-UDF matcher there; at local[32]
+(fully subscribed) it picks the zero-Python JVM regexp path, which is ~3×
+faster in that regime. Both strategies are row-exact equivalent
+(test_mentions_jvm); on a real cluster, executors sized to their hosts
+take the JVM path.
 """
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)

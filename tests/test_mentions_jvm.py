@@ -1,0 +1,58 @@
+"""JVM column-expression extraction == Arrow reference, row for row."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.kg.mentions import (
+    extract_mentions_and_relations,
+    extract_mentions_and_relations_arrow,
+)
+from bop_consus_importing_rdf_spark.kg.synth import alias_table, synth_transcripts
+
+
+def test_jvm_extraction_matches_arrow_reference(spark):
+    aliases = [r.alias for r in alias_table(spark).select("alias").distinct().collect()]
+    t = synth_transcripts(spark, n_conv=60, seed=3)
+    # adversarial extras: null text, empty, alias at string edges, template
+    # with non-gazetteer slots, alias-prefix trap, unicode neighbours
+    extra = spark.createDataFrame(
+        [
+            ("x", 0, "user", None, None, None),
+            ("x", 1, "user", "", None, None),
+            ("x", 2, "user", "Acme released Falcon in 1999", None, None),
+            ("x", 3, "user", "NotAnOrg released Falcon in 1999", None, None),
+            ("x", 4, "user", "Acme Corporation beats Acme", None, None),
+            ("x", 5, "user", "naïveAcme is no mention but Acme is", None, None),
+            ("x", 6, "user", "  Acme released The Falcon in 2001 \n\ttail", None, None),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = t.unionByName(extra)
+    both = rows.select(
+        "conv_id",
+        "turn_idx",
+        extract_mentions_and_relations(F.col("text"), aliases).alias("jvm"),
+        extract_mentions_and_relations_arrow(F.col("text"), aliases).alias("ref"),
+    )
+    diff = both.filter(
+        (F.col("jvm.mentions") != F.col("ref.mentions"))
+        | ~(
+            F.col("jvm.rel.subj_alias").eqNullSafe(F.col("ref.rel.subj_alias"))
+            & F.col("jvm.rel.obj_alias").eqNullSafe(F.col("ref.rel.obj_alias"))
+            & F.col("jvm.rel.year").eqNullSafe(F.col("ref.rel.year"))
+        )
+    )
+    bad = diff.select("conv_id", "turn_idx", "jvm", "ref").collect()
+    assert not bad, f"JVM/Arrow divergence: {bad[:5]}"
+    # sanity: the adversarial rows behave as intended
+    got = {
+        r.turn_idx: (r.jvm.mentions, r.jvm.rel.subj_alias)
+        for r in both.filter(F.col("conv_id") == "x").collect()
+    }
+    assert got[0] == ([], None) and got[1] == ([], None)
+    assert got[2][1] == "Acme"
+    assert got[3][1] is None                      # non-gazetteer subject
+    assert got[4][0][0] == "Acme Corporation"     # longest-first wins
+    assert got[5][0] == ["Acme"]                  # unicode-glued prefix ignored
+    assert got[6] == (["Acme", "The Falcon"], "Acme")  # strip + tail
