@@ -117,11 +117,14 @@ def main() -> None:
         "events_sessionize": lambda: materialize(
             SPARK_QUERIES["events_sessionize"](spark, sf_dir)
         ),
+        # repartition before the parse: the rendered lines arrive in the
+        # union's ~18 natural partitions, starving the 32 cores of regex
+        # work — a real ingest has many input splits
         "nt_parse": lambda: materialize(
             parse_ntriples(
-                SPARK_QUERIES["nt_render"](spark, sf_dir).withColumnRenamed(
-                    "line", "value"
-                )
+                SPARK_QUERIES["nt_render"](spark, sf_dir)
+                .withColumnRenamed("line", "value")
+                .repartition(2 * cpus)
             )
         ),
     }
