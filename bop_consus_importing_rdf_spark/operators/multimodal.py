@@ -90,6 +90,88 @@ def decode_image_features(
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id string, kind string, n_bytes long, resized_hex string"
+)
+
+
+def resize_media(
+    media: DataFrame, target_bytes: int = 64, fake: bool = False
+) -> DataFrame:
+    """Resize payloads to a fixed byte budget via ``mapInPandas``.
+
+    The real implementation would decode + bilinear-resample pixels; with
+    no imaging libs in this container the deterministic fake path does
+    nearest-neighbor BYTE resampling (``out[j] = payload[j*len//target]``)
+    — which exercises the identical Spark plumbing (Arrow batches, binary
+    in / fixed-size out, schema change) and, being pure index arithmetic,
+    is byte-checkable against a SQL oracle (``multimodal_resize``). The
+    resampled bytes are emitted hex-encoded so downstream comparison
+    needs no binary canonicalization.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "real image resize requires Pillow/libvips — not in this "
+            "container; pass fake=True for the deterministic stand-in"
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def resample(b) -> str:
+            b = bytes(b)
+            if not b:
+                return ""
+            n = len(b)
+            return bytes(
+                b[(j * n) // target_bytes] for j in range(target_bytes)
+            ).hex()
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": payloads.map(
+                        lambda b: target_bytes if len(b) else 0
+                    ).astype("int64"),
+                    "resized_hex": payloads.map(resample),
+                }
+            )
+
+    return media.mapInPandas(batches, RESIZED_SCHEMA)
+
+
+def media_chunks(media: DataFrame, chunk_bytes: int = 100) -> DataFrame:
+    """Fixed-size window slicing over media payloads (the audio analogue of
+    :func:`frame_sample`): ``(media_id, chunk_idx, start_byte, end_byte)``.
+
+    Pure column expressions — the plan shape (explode over a computed
+    window count) is what partitions a 100-TB audio corpus into
+    independently processable segments; the per-chunk decode would slot
+    into the same ``mapInPandas`` stage as the feature extractor.
+    """
+    n = F.length("payload")
+    n_chunks = F.ceil(n / F.lit(chunk_bytes)).cast("int")
+    return (
+        media.select(
+            "media_id",
+            n.alias("_n"),
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+            ).alias("chunk_idx"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "media_id",
+            F.col("chunk_idx").cast("long"),
+            (F.col("chunk_idx") * chunk_bytes).cast("long").alias("start_byte"),
+            F.least(
+                (F.col("chunk_idx") + 1) * chunk_bytes, F.col("_n")
+            ).cast("long").alias("end_byte"),
+        )
+    )
+
+
 def frame_sample(media: DataFrame, every_nth: int = 2) -> DataFrame:
     """Frame sampling for video-kind rows: emit (media_id, frame_idx) rows.
 

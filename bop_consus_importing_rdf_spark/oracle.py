@@ -705,6 +705,22 @@ def q_simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash32(docs, "doc_id", "text")
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import resize_media, synth_media
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media(synth_media(docs), target_bytes=64, fake=True)
+
+
+def q_media_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.multimodal import media_chunks, synth_media
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return media_chunks(synth_media(docs), chunk_bytes=100)
+
+
 def q_simhash64_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import simhash64
     from .sources.catalog import load_table
@@ -1264,6 +1280,29 @@ ORACLES: dict[str, str] = {
         "THEN (cast(1 AS bigint) << bit) ELSE 0 END) AS bigint) AS simhash "
         "FROM votes GROUP BY id"
     ),
+    "multimodal_resize": (
+        # nearest-neighbor byte resampling mirrored as hex-pair index
+        # arithmetic: out[j] = payload[(j*n)//64]
+        "WITH m AS (SELECT 'image-' || doc_id AS media_id, 'image' AS kind, "
+        "  lower(hex(encode(text))) AS hx, "
+        "  octet_length(encode(text)) AS n FROM documents) "
+        "SELECT media_id, kind, "
+        "cast(CASE WHEN n = 0 THEN 0 ELSE 64 END AS bigint) AS n_bytes, "
+        "CASE WHEN n = 0 THEN '' ELSE "
+        "  list_aggregate(list_transform(range(64), j -> "
+        "    substring(hx, 2*cast((j*n)//64 AS int)+1, 2)), "
+        "  'string_agg', '') END AS resized_hex FROM m"
+    ),
+    "media_chunks": (
+        "WITH m AS (SELECT 'image-' || doc_id AS media_id, "
+        "  octet_length(encode(text)) AS n FROM documents) "
+        "SELECT media_id, cast(c AS bigint) AS chunk_idx, "
+        "cast(c*100 AS bigint) AS start_byte, "
+        "cast(least((c+1)*100, n) AS bigint) AS end_byte "
+        "FROM (SELECT media_id, n, "
+        "  unnest(range(0, greatest(cast(ceil(n/100.0) AS bigint), 1))) AS c "
+        "  FROM m) WHERE n > 0"
+    ),
     "simhash64_docs": (
         "WITH " + _SIMHASH64_SIG_CTE
         + " SELECT id, simhash_hi, simhash_lo FROM sig"
@@ -1471,6 +1510,8 @@ SPARK_QUERIES = {
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "media_chunks": q_media_chunks,
     "simhash64_docs": q_simhash64_docs,
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_docs": q_minhash_dedup_docs,
