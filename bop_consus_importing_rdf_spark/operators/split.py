@@ -41,14 +41,14 @@ def split_datasets(
     - ``datasets``: ``(subj, identifier)`` — one row per non-blank-id,
       non-empty dataset (F3 + F4 applied).
     """
-    # F1 first (before the scan). Persist hash-partitioned on subj: the
-    # closure loop probes this side once per iteration, and a persisted
-    # partitioning on the join key means only the (small) frontier side
-    # shuffles each round (MEMORY_AND_DISK: spills instead of OOM at scale)
-    t = (
-        remove_lowercase_dataset_typo(triples)
-        .repartition(F.col("subj"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # F1 first (before the scan). Persist WITHOUT repartitioning: the
+    # closure loop probes its own slim edge cache (closure.py), so nothing
+    # left here exploits a subj hash partitioning — the subgraph SMJ
+    # exchanges t exactly once either way, and a pre-emptive
+    # repartition(subj) measured as a pure ~10s loss at sf0.1
+    # (MEMORY_AND_DISK: spills instead of OOM at scale)
+    t = remove_lowercase_dataset_typo(triples).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
 
     subjects = dataset_subjects(t)  # F2
