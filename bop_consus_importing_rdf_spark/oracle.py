@@ -879,6 +879,31 @@ def q_events_stable_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session aggregates via Spark's BUILT-IN event-time
+    ``session_window`` (gap = 30 min) — the engine-native form of the
+    lag/cumsum sessionization, usable identically in batch and Structured
+    Streaming. The oracle recomputes the same sessions with the
+    window-function formulation, so this doubles as a cross-check that
+    ``session_window``'s gap semantics equal the manual definition."""
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "first_event",
+        )
+    )
+
+
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
@@ -1463,6 +1488,24 @@ ORACLES: dict[str, str] = {
         "cast(row_number() OVER (PARTITION BY user_id "
         "ORDER BY ts ASC, event_id ASC) AS bigint) AS counter FROM events"
     ),
+    "events_session_stats": (
+        # session_window boundary verified empirically: an exactly-gap
+        # difference MERGES (new session only when diff > gap), matching
+        # the lag/cumsum formulation's strict inequality
+        "WITH w AS (SELECT user_id, event_id, ts, "
+        "  CASE WHEN lag(ts) OVER (PARTITION BY user_id "
+        "    ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 "
+        "  WHEN date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id "
+        "    ORDER BY ts ASC, event_id ASC), ts) > 1800000000 THEN 1 "
+        "  ELSE 0 END AS ns FROM events), "
+        "s AS (SELECT user_id, event_id, ts, "
+        "  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM w) "
+        "SELECT user_id, min(ts) AS session_start, "
+        "cast(count(*) AS bigint) AS n_events, "
+        "min(event_id) AS first_event "
+        "FROM s GROUP BY user_id, sid"
+    ),
     "events_sessionize": (
         "WITH w AS (SELECT user_id, event_id, "
         "  CASE WHEN date_diff('microsecond', lag(ts) OVER ("
@@ -1520,4 +1563,5 @@ SPARK_QUERIES = {
     "ivf_topk": q_ivf_topk,
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,
+    "events_session_stats": q_events_session_stats,
 }
