@@ -120,3 +120,33 @@ def test_remove_prefix_variant(spark, fixture_triples):
     ids = sorted(r.identifier for r in datasets.collect())
     # ds3 reappears: URI precedence bypasses its blank dct:identifier
     assert ids == ["ds1", "ds2", "ds3", "ds4", "ds5"]
+
+
+def test_scoped_closure_never_leaks_across_scopes(spark):
+    """Same node names in two scopes: the closure stays inside each scope
+    partition (exercises the scope_cols path through the unrolled prefix
+    and the hop joins)."""
+    from bop_consus_importing_rdf_spark.operators.closure import (
+        reachable_closure,
+    )
+
+    rows = [
+        ("g1", "a", "p", "b", "iri", None, None),
+        ("g1", "b", "p", "c", "iri", None, None),
+        ("g2", "a", "p", "z", "iri", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string, obj_datatype string",
+    )
+    seeds = spark.createDataFrame(
+        [("a", "a", "g1"), ("a", "a", "g2")],
+        "root string, node string, doc_id string",
+    )
+    out = reachable_closure(t, seeds, scope_cols=("doc_id",))
+    got = sorted((r.doc_id, r.root, r.node) for r in out.collect())
+    assert got == [
+        ("g1", "a", "a"), ("g1", "a", "b"), ("g1", "a", "c"),
+        ("g2", "a", "a"), ("g2", "a", "z"),
+    ]
