@@ -291,18 +291,31 @@ def _sql_lang_id(expr: str) -> str:
 # Spark-side query implementations
 # ---------------------------------------------------------------------------
 
-def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The derived RDF graph as a DataFrame.
+_GRAPH_CACHE: dict[tuple[int, str], DataFrame] = {}
 
-    Spark inlines SQL CTEs, so the 15 UNION ALL branches would each
+
+def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The derived RDF graph as a DataFrame, memoized + persisted per
+    (session, sf_dir).
+
+    Spark inlines SQL CTEs, so the UNION ALL branches would each
     re-execute the orders⋈customer base join; caching the (small) base
-    relation turns that into one join + 15 cache scans. The DuckDB oracle
-    runs the plain CTE text — DuckDB materializes CTEs itself.
+    relation turns that into one join + N cache scans, and persisting the
+    assembled graph means the ~10 graph-derived driver queries build it
+    ONCE per session instead of once each. The DuckDB oracle runs the
+    plain CTE text — DuckDB materializes CTEs itself.
     """
-    register_views(spark, sf_dir)
-    base = spark.sql(_BASE_SQL).cache()
-    base.createOrReplaceTempView("base")
-    return spark.sql(_GRAPH_SELECT_SQL)
+    key = (id(spark), sf_dir)
+    if key not in _GRAPH_CACHE:
+        register_views(spark, sf_dir)
+        base = spark.sql(_BASE_SQL).cache()
+        base.createOrReplaceTempView("base")
+        from pyspark import StorageLevel
+
+        _GRAPH_CACHE[key] = spark.sql(_GRAPH_SELECT_SQL).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _GRAPH_CACHE[key]
 
 
 def q_nt_render(spark: SparkSession, sf_dir: str) -> DataFrame:
