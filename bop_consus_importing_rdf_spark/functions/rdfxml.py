@@ -41,21 +41,42 @@ _LOCAL_NAME_RE = r"([A-Za-z_][A-Za-z0-9_.\-]*)$"
 
 
 def xml_escape_text(col: Column) -> Column:
-    """``&`` first, then ``<``/``>`` — element text escaping."""
+    """``&`` first, then ``<``/``>``, then ``\\r`` — element text escaping.
+
+    ``\\r`` must become the character reference ``&#13;``: XML parsers
+    normalize raw CR (and CRLF) in text content to LF, which would silently
+    corrupt a literal on round-trip (found by property testing — the ECHAR
+    set tempts you to treat ``\\r`` like ``\\n``, but only ``\\n``/``\\t``
+    survive as raw text). Replaced LAST so its ``&`` is not re-escaped.
+    """
     out = F.replace(col, F.lit("&"), F.lit("&amp;"))
     out = F.replace(out, F.lit("<"), F.lit("&lt;"))
-    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+    out = F.replace(out, F.lit(">"), F.lit("&gt;"))
+    return F.replace(out, F.lit("\r"), F.lit("&#13;"))
 
 
 def xml_escape_attr(col: Column) -> Column:
     return F.replace(xml_escape_text(col), F.lit('"'), F.lit("&quot;"))
 
 
+# code points XML 1.0 cannot represent AT ALL (not even as char refs)
+_XML_INVALID = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+
+
 def rdfxml_fragment(
     subj: Column, pred: Column, obj_value: Column, obj_kind: Column,
     obj_lang: Column, obj_datatype: Column,
 ) -> Column:
-    """One ``<rdf:Description>…</rdf:Description>`` block for one statement."""
+    """One ``<rdf:Description>…</rdf:Description>`` block for one statement.
+
+    A literal containing a code point XML 1.0 cannot represent (C0 controls
+    other than TAB/LF/CR) makes the graph UNSERIALIZABLE as RDF/XML — a
+    documented limitation of the syntax, not of this writer. Such rows
+    ``raise_error`` at render time with the offending subject, instead of
+    silently emitting a document no parser will accept (which is what a
+    naive writer does — found by property testing). N-Triples/Turtle
+    serialize such literals fine via ``\\u`` escapes.
+    """
     local = F.regexp_extract(pred, _LOCAL_NAME_RE, 1)
     ns = F.substring(pred, F.lit(1), F.length(pred) - F.length(local))
     subj_attr = F.when(
@@ -91,7 +112,20 @@ def rdfxml_fragment(
         .otherwise(
             F.concat(
                 open_prop, lang_attr, dt_attr, F.lit(">"),
-                xml_escape_text(obj_value), F.lit("</n:"), local, F.lit(">"),
+                F.when(
+                    obj_value.rlike(_XML_INVALID),
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "literal contains a code point XML 1.0 "
+                                "cannot represent (C0 control); graph is "
+                                "not RDF/XML-serializable — subject: "
+                            ),
+                            subj,
+                        )
+                    ),
+                ).otherwise(xml_escape_text(obj_value)),
+                F.lit("</n:"), local, F.lit(">"),
             )
         )
     )

@@ -127,7 +127,7 @@ FROM nation n
 UNION ALL
 SELECT 'doc-' || (r.r_regionkey % 8), 'urn:region:' || r.r_regionkey,
        '{EX}name',
-       r.r_name || chr(10) || chr(34) || 'q' || chr(92) || chr(9),
+       r.r_name || chr(10) || chr(34) || 'q' || chr(92) || chr(9) || chr(13),
        'literal', {_NULLS}
 FROM region r
 UNION ALL

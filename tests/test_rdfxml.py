@@ -114,3 +114,68 @@ def test_render_parse_roundtrip_spark(spark):
     back = parse_rdfxml(docs, carry_cols=("doc_id",))
     got = {tuple(r) for r in back.collect()}
     assert got == {tuple(r) for r in rows}
+
+
+def test_cr_literal_roundtrips_exactly(spark):
+    """XML parsers normalize raw CR in text to LF; the writer must emit
+    &#13; so a \\r literal survives the round trip byte-for-byte."""
+    rows = [("d0", "urn:s:1", "urn:p:x", "a\rb\r\nc", "literal", None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string, obj_datatype string",
+    )
+    back = parse_rdfxml(render_rdfxml_docs(df), carry_cols=("doc_id",))
+    assert back.first().obj_value == "a\rb\r\nc"
+
+
+def test_xml_unrepresentable_literal_raises_loudly(spark):
+    """C0 controls (other than TAB/LF/CR) cannot exist in XML 1.0 at all —
+    the writer must refuse with a clear error, not emit a document no
+    parser will accept."""
+    import pytest as _pytest
+
+    rows = [("d0", "urn:s:bad", "urn:p:x", "oops\x01", "literal", None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string, obj_datatype string",
+    )
+    with _pytest.raises(Exception, match="not RDF/XML-serializable"):
+        render_rdfxml_docs(df).collect()
+
+
+def test_roundtrip_property_arbitrary_xml_legal_literals(spark):
+    """Hypothesis: render∘parse == id for ANY XML-representable literal
+    (full unicode incl. emoji, quotes, &<>, tabs, newlines, CRs)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    xml_legal = st.text(
+        alphabet=st.characters(
+            codec="utf-8",
+            exclude_categories=("Cs",),          # no lone surrogates
+            exclude_characters=[chr(c) for c in range(0x00, 0x20)
+                                if c not in (0x09, 0x0A, 0x0D)],
+        ),
+        max_size=60,
+    )
+
+    @given(st.lists(xml_legal, min_size=1, max_size=6, unique=True))
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(texts):
+        rows = [
+            ("d0", f"urn:s:{i}", "urn:p:x", t, "literal", None, None)
+            for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id string, subj string, pred string, obj_value string, "
+            "obj_kind string, obj_lang string, obj_datatype string",
+        )
+        back = parse_rdfxml(render_rdfxml_docs(df), carry_cols=("doc_id",))
+        got = {(r.subj, r.obj_value) for r in back.collect()}
+        assert got == {(f"urn:s:{i}", t) for i, t in enumerate(texts)}
+
+    check()
