@@ -204,8 +204,17 @@ def trig_docs(triples: DataFrame, doc_col: str = "doc_id") -> DataFrame:
 # JSON-LD (flattened, one object per statement)
 # ---------------------------------------------------------------------------
 
+# backslash FIRST; then the named escapes; then every remaining C0 control
+# as \u00XX — raw control characters are INVALID inside JSON strings
+# (json.loads rejects them), the same latent-corruption class the RDF/XML
+# writer had with CR. The C0 replacements are emitted after the backslash
+# escape so their own backslashes survive.
 _JSON_ESCAPES = [
     ("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t"),
+] + [
+    (chr(c), f"\\u{c:04x}")
+    for c in range(0x20)
+    if c not in (0x09, 0x0A, 0x0D)
 ]
 
 
@@ -250,6 +259,10 @@ def sql_json_escape(expr: str) -> str:
         ("chr(10)", "chr(92)||'n'"),
         ("chr(13)", "chr(92)||'r'"),
         ("chr(9)", "chr(92)||'t'"),
+    ] + [
+        (f"chr({c})", f"chr(92)||'u{c:04x}'")
+        for c in range(0x20)
+        if c not in (0x09, 0x0A, 0x0D)
     ]
     for raw, esc in pairs:
         out = f"replace({out}, {raw}, {esc})"

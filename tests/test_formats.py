@@ -87,3 +87,42 @@ def test_jsonld_lines_are_valid_json(spark):
     assert typed["urn:p:price"] == [
         {"@value": "42", "@type": "http://www.w3.org/2001/XMLSchema#integer"}
     ]
+
+
+def test_jsonld_property_valid_json_for_arbitrary_text(spark):
+    """Hypothesis: every jsonld line is parseable JSON with the exact
+    original value — including raw C0 control characters, which are
+    invalid in JSON strings unless \\u-escaped (the same corruption class
+    the RDF/XML writer had with CR)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    any_text = st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=50,
+    )
+
+    @given(st.lists(any_text, min_size=1, max_size=6, unique=True))
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def check(texts):
+        rows = [
+            (f"urn:s:{i}", "urn:p:x", t, "literal", None, None)
+            for i, t in enumerate(texts)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "subj string, pred string, obj_value string, obj_kind string, "
+            "obj_lang string, obj_datatype string",
+        )
+        got = _lines(
+            df.select(jsonld_line(
+                F.col("subj"), F.col("pred"), F.col("obj_value"),
+                F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+            ).alias("l")), "l",
+        )
+        values = {json.loads(l)["@id"]: json.loads(l)["urn:p:x"][0]["@value"]
+                  for l in got}
+        assert values == {f"urn:s:{i}": t for i, t in enumerate(texts)}
+
+    check()
