@@ -74,6 +74,15 @@ def alias_pattern(aliases: list[str] | tuple[str, ...]) -> str:
 
 _RELATION_TMPL = r"^(.*?) released (.*?) in (\d{4})"
 
+# Unicode White_Space=yes, spelled as an explicit char class so BOTH engines
+# strip the exact same set (Java's bare \s is ASCII-only, Python's str.strip()
+# additionally eats \x1c-\x1f — relying on either flag semantics leaves a
+# divergence window on adversarial padding; an explicit class leaves none).
+_WS_CLASS = (
+    "\\x09-\\x0D\\x20\\x85\\xA0\\u1680\\u2000-\\u200A"
+    "\\u2028\\u2029\\u202F\\u205F\\u3000"
+)
+
 
 def detect_mentions(text: Column, aliases: list[str]) -> Column:
     """``array<string>`` of gazetteer aliases found in each text, in order.
@@ -92,8 +101,8 @@ def extract_relations(text: Column, aliases: list[str]) -> Column:
     ``array_contains`` over a constant-folded literal array.
     """
     def strip(c: Column) -> Column:
-        # Python str.strip() semantics (ALL whitespace, not just spaces)
-        return F.regexp_replace(c, r"^\s+|\s+$", "")
+        # explicit Unicode-whitespace class — identical set in both engines
+        return F.regexp_replace(c, f"^[{_WS_CLASS}]+|[{_WS_CLASS}]+$", "")
 
     filled = F.coalesce(text, F.lit(""))
     # ONE regex pass for all three groups (the same packing trick as the
@@ -107,13 +116,22 @@ def extract_relations(text: Column, aliases: list[str]) -> Column:
         filled, _RELATION_TMPL + r"(?s:.*)$", f"$1{sep}$2{sep}$3"
     )
     parts = F.split(packed, sep)
-    matched = F.size(parts) == 3
-    g1 = F.when(matched, strip(parts[0])).otherwise(F.lit(""))
-    g2 = F.when(matched, strip(parts[1])).otherwise(F.lit(""))
-    g3 = F.when(matched, parts[2]).otherwise(F.lit(""))
+    # A real match test, not split-arity inference: adversarial text carrying
+    # raw \x01 bytes would otherwise fabricate a 3-way split without the
+    # template ever matching. rlike + arity together are sound: when the
+    # anchored template DID match, arity==3 additionally proves the captured
+    # groups themselves are \x01-free, so parts[i] == group i exactly (text
+    # with \x01 inside a group inflates the arity and is rejected here —
+    # and rejected by the Arrow twin too, since a group containing \x01 can
+    # never be a gazetteer alias).
+    matched = (F.size(parts) == 3) & filled.rlike(_RELATION_TMPL)
+    # F.get, not parts[i]: ANSI-safe on arity≠3 rows under eager evaluation
+    g1 = F.when(matched, strip(F.get(parts, 0))).otherwise(F.lit(""))
+    g2 = F.when(matched, strip(F.get(parts, 1))).otherwise(F.lit(""))
+    g3 = F.when(matched, F.get(parts, 2)).otherwise(F.lit(""))
     valid = F.array(*[F.lit(a) for a in sorted(aliases)])
     ok = (
-        (g3 != "")
+        g3.rlike(r"^\d{4}$")  # belt-and-braces year invariant
         & F.array_contains(valid, g1)
         & F.array_contains(valid, g2)
     )
@@ -222,11 +240,15 @@ def extract_mentions_and_relations_arrow(
         pat = _compiled(alias_key)
         filled = s.fillna("")
         mentions = filled.str.findall(pat)
-        ext = filled.str.extract(_RELATION_TMPL)
+        # re.ASCII: \d{4} must mean ASCII digits like Java's default \d —
+        # Python's Unicode \d would accept e.g. Arabic-Indic year digits the
+        # JVM engine rejects, breaking the row-exact equivalence contract
+        ext = filled.str.extract(re.compile(_RELATION_TMPL, re.ASCII))
         ext.columns = ["subj_alias", "obj_alias", "year"]
         valid = set(alias_key)
+        ws_strip = re.compile(f"^[{_WS_CLASS}]+|[{_WS_CLASS}]+$")
         for c in ("subj_alias", "obj_alias"):
-            col = ext[c].str.strip()
+            col = ext[c].str.replace(ws_strip, "", regex=True)
             ext[c] = col.where(col.isin(valid))
         bad = ext["subj_alias"].isna() | ext["obj_alias"].isna()
         ext.loc[bad, ["subj_alias", "obj_alias", "year"]] = None

@@ -69,6 +69,7 @@ def reachable_closure(
     unroll: int = 4,
     hops_per_iter: int = 2,
     broadcast_edges_max: int = 4_000_000,
+    unroll_fanout_max: float = 4.0,
 ) -> DataFrame:
     """All nodes reachable from each seed root.
 
@@ -117,7 +118,20 @@ def reachable_closure(
     # the threshold (count as a cheap proxy for bytes) the joins fall back
     # to shuffle joins, which is the correct 100-TB plan — there the edge
     # table dwarfs executor memory and stage latency is noise.
-    broadcast = edges.count() <= broadcast_edges_max
+    n_edges = edges.count()
+    broadcast = n_edges <= broadcast_edges_max
+    if unroll > 0 and unroll_fanout_max is not None:
+        # The unrolled prefix enumerates PATHS (no dedup between hops), so on
+        # densely cyclic graphs — harvested RDF is untrusted — the union
+        # grows ~O(frontier·d^unroll) before the single distinct. Gate it on
+        # average follow-out-degree: catalogue-shaped graphs sit near 1-2,
+        # where path≈node and the unroll's one-job latency win is real; past
+        # the threshold fall back to the loop, whose per-iteration distinct
+        # bounds the blowup. One extra count on the slim persisted edge
+        # projection — noise next to a single wasted d^4 expansion.
+        n_src = edges.select("_src").distinct().count()
+        if n_src and n_edges / n_src > unroll_fanout_max:
+            unroll = 0
     subj_nodes = None
     if prune_to_subjects:
         # materialized once — the semi-join probes it every iteration

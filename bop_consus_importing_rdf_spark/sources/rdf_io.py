@@ -130,6 +130,14 @@ def parse_ntriples(
     Malformed/comment/blank lines are dropped unless ``keep_malformed``
     (then returned with ``obj_kind`` NULL and the raw line in
     ``obj_value`` for lineage auditing).
+
+    Plain N-Triples PERMITS raw C0 controls inside literal bodies (only
+    *canonical* N-Triples mandates ``\\u`` escapes), so the JVM fast path's
+    in-band ``\\x01``/``\\x02`` sentinels cannot be assumed absent: any line
+    carrying either byte is routed whole to the Python ``_parse_one``
+    fallback (two cheap non-regex ``contains`` probes per line; the Arrow
+    batch ships NULL for every clean line). Clean lines — in practice all
+    of them — never leave the JVM.
     """
     @F.pandas_udf("string")
     def _unescape_bodies(s: pd.Series) -> pd.Series:
@@ -139,21 +147,36 @@ def parse_ntriples(
             s[mask] = s[mask].map(_unescape)
         return s
 
+    @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
+    def _parse_fallback(s: pd.Series) -> pd.DataFrame:
+        cols = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
+                "obj_datatype"]
+        vals = [
+            _parse_one(x) if isinstance(x, str) else (None,) * 6 for x in s
+        ]
+        return pd.DataFrame(vals, columns=cols)
+
     line = F.col(line_col)
     stripped = F.trim(line)
+    # sentinel-collision guard (see docstring): lines containing the raw
+    # sentinel bytes take the exact Python parser instead of the JVM path
+    has_ctl = line.contains("\x01") | line.contains("\x02")
+    fb = _parse_fallback(F.when(has_ctl, line))
     # ONE regex pass over the line: pack the three groups with a \x01
     # separator, then split — measured 4× cheaper than three independent
-    # regexp_extract calls (each re-runs the full-line match). A raw \x01
-    # inside a literal would skew the split; raw control characters are
-    # invalid N-Triples (the spec requires \u escapes) and ``pre_process``
-    # strips them besides — such lines land in the malformed bucket.
+    # regexp_extract calls (each re-runs the full-line match). Lines whose
+    # bytes could collide with the separator were routed to the fallback
+    # above, so arity-3 here really does mean "matched".
     sep = "\x01"
     packed = F.regexp_replace(line, _NT_PATTERN, f"$1{sep}$2{sep}$3")
     parts = F.split(packed, sep)
     matched = F.size(parts) == 3
-    subj_raw = parts[0]
-    pred_raw = parts[1]
-    obj_raw = parts[2]
+    # F.get (NULL on out-of-bounds), NOT parts[i]: ANSI mode raises on OOB,
+    # and the Python-UDF input projection evaluates these eagerly even for
+    # unmatched (arity≠3) rows where the CASE guard would never take them
+    subj_raw = F.get(parts, 0)
+    pred_raw = F.get(parts, 1)
+    obj_raw = F.get(parts, 2)
 
     subj = F.when(
         subj_raw.startswith("<"),
@@ -189,19 +212,29 @@ def parse_ntriples(
     parsed = (
         lines.filter((stripped != "") & ~stripped.startswith("#"))
         .select(
-            F.when(matched, subj).alias("subj"),
-            F.when(matched, pred_raw).alias("pred"),
-            F.when(~matched, line)
+            F.when(has_ctl, fb["subj"])
+            .when(matched, subj)
+            .alias("subj"),
+            F.when(has_ctl, fb["pred"])
+            .when(matched, pred_raw)
+            .alias("pred"),
+            F.when(has_ctl, fb["obj_value"])
+            .when(~matched, line)
             .when(is_iri, iri_value)
             .when(is_bnode, obj_raw)
             .otherwise(body)
             .alias("obj_value"),
-            F.when(matched & is_iri, "iri")
+            F.when(has_ctl, fb["obj_kind"])
+            .when(matched & is_iri, "iri")
             .when(matched & is_bnode, "bnode")
             .when(matched, "literal")
             .alias("obj_kind"),
-            F.when(matched & ~is_iri & ~is_bnode, lang).alias("obj_lang"),
-            F.when(matched & ~is_iri & ~is_bnode, dt).alias("obj_datatype"),
+            F.when(has_ctl, fb["obj_lang"])
+            .when(matched & ~is_iri & ~is_bnode, lang)
+            .alias("obj_lang"),
+            F.when(has_ctl, fb["obj_datatype"])
+            .when(matched & ~is_iri & ~is_bnode, dt)
+            .alias("obj_datatype"),
         )
     )
     if keep_malformed:

@@ -25,6 +25,16 @@ def test_jvm_extraction_matches_arrow_reference(spark):
             ("x", 4, "user", "Acme Corporation beats Acme", None, None),
             ("x", 5, "user", "naïveAcme is no mention but Acme is", None, None),
             ("x", 6, "user", "  Acme released The Falcon in 2001 \n\ttail", None, None),
+            # raw \x01 bytes must not fabricate a relation (sentinel attack)
+            ("x", 7, "user", "Acme\x01Org1 Corp\x01whatever", None, None),
+            # \x01 in the swallowed tail of a REAL match is harmless
+            ("x", 8, "user", "Acme released The Falcon in 2001 t\x01l", None, None),
+            # \x01 inside a captured group → rejected by both engines
+            ("x", 9, "user", "Acme released Org1\x01Corp in 2001", None, None),
+            # Unicode-whitespace (NBSP) padding strips identically in both
+            ("x", 10, "user", "Acme  released The Falcon in 2001", None, None),
+            # non-ASCII year digits rejected by both (Java-\d semantics)
+            ("x", 11, "user", "Acme released The Falcon in ٢٠٢٠", None, None),
         ],
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
@@ -56,3 +66,8 @@ def test_jvm_extraction_matches_arrow_reference(spark):
     assert got[4][0][0] == "Acme Corporation"     # longest-first wins
     assert got[5][0] == ["Acme"]                  # unicode-glued prefix ignored
     assert got[6] == (["Acme", "The Falcon"], "Acme")  # strip + tail
+    assert got[7][1] is None   # raw \x01 fabricates nothing
+    assert got[8][1] == "Acme"  # \x01 in the swallowed tail is harmless
+    assert got[9][1] is None   # \x01 inside a group → no relation
+    assert got[10][1] == "Acme"  # NBSP padding stripped in both engines
+    assert got[11][1] is None  # non-ASCII digits are not a year

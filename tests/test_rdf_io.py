@@ -55,6 +55,31 @@ def test_parse_skips_comments_blank_and_malformed(spark):
     assert kept.filter(F.col("obj_kind").isNull()).count() == 1
 
 
+def test_raw_control_bytes_in_literals(spark):
+    """Plain NT permits raw C0 controls in literal bodies; the JVM path's
+    in-band sentinels must not corrupt or drop such lines (ADVICE r2)."""
+    rows = [
+        ('<urn:a> <urn:p> "a\x02b" .', ("urn:a", "a\x02b", "literal")),
+        ('<urn:b> <urn:p> "a\x01b" .', ("urn:b", "a\x01b", "literal")),
+        ('<urn:c> <urn:p> "\x01" .', ("urn:c", "\x01", "literal")),
+        ('<urn:d> <urn:p> "mix\x01\\n\x02\\u00e9" .',
+         ("urn:d", "mix\x01\n\x02é", "literal")),
+    ]
+    lines = spark.createDataFrame([(r[0],) for r in rows], "value string")
+    got = {
+        r.subj: (r.subj, r.obj_value, r.obj_kind)
+        for r in parse_ntriples(lines).collect()
+    }
+    assert len(got) == len(rows)
+    for _, expect in rows:
+        assert got[expect[0]] == expect
+    # a malformed line carrying \x01 still lands in the malformed bucket
+    bad = spark.createDataFrame([("not a triple \x01 at all",)], "value string")
+    kept = parse_ntriples(bad, keep_malformed=True).collect()
+    assert len(kept) == 1 and kept[0].obj_kind is None
+    assert kept[0].obj_value == "not a triple \x01 at all"
+
+
 def test_gzip_source_transparent(spark, tmp_path):
     p = tmp_path / "doc.nt.gz"
     with gzip.open(p, "wt") as f:

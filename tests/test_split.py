@@ -150,3 +150,23 @@ def test_scoped_closure_never_leaks_across_scopes(spark):
         ("g1", "a", "a"), ("g1", "a", "b"), ("g1", "a", "c"),
         ("g2", "a", "a"), ("g2", "a", "z"),
     ]
+
+
+def test_dense_cyclic_graph_fanout_gate(spark):
+    """High average fan-out (untrusted cyclic RDF) disables the path-
+    enumerating unrolled prefix; the anti-join loop still reaches the exact
+    fixpoint. Both configurations must agree (ADVICE r2)."""
+    # K8-ish digraph: every node points at every other → out-degree 7
+    nodes = [f"n{i}" for i in range(8)]
+    rows = [
+        (a, "p", b, "iri", None, None) for a in nodes for b in nodes if a != b
+    ]
+    t = triples_df(spark, rows)
+    seeds = spark.createDataFrame(
+        [("n0", "n0")], "root string, node string"
+    )
+    gated = reachable_closure(t, seeds)
+    forced = reachable_closure(t, seeds, unroll_fanout_max=None, unroll=2)
+    want = {("n0", n) for n in nodes}
+    assert {(r.root, r.node) for r in gated.collect()} == want
+    assert {(r.root, r.node) for r in forced.collect()} == want
