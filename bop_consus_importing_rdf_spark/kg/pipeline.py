@@ -358,8 +358,32 @@ def build_kg(
     aliases: DataFrame,
     catalogue: str = "transcripts",
     salt_partitions: int | None = None,
+    small_dim_threshold: int = 50_000,
 ) -> dict[str, DataFrame]:
-    """Run the full DAG. Returns {triples, entities, datasets, manifest}."""
+    """Run the full DAG. Returns {triples, entities, datasets, manifest}.
+
+    Canonicalization has two physical strategies keyed on ONE threshold —
+    the same one ``canonical_entity_map`` branches on, so the two decisions
+    can never disagree:
+
+    - **broadcast-scale dictionary** (≤ ``small_dim_threshold`` alias rows):
+      the canonical map composes INTO the linking map (alias → canonical
+      entity), extraction emits canonical URIs directly, and the post-hoc
+      rewrite joins vanish from the hot path.
+    - **at scale**: the canonical map is never collected to the driver
+      (``canonical_entity_map`` already went distributed; collecting its
+      result would be the driver OOM). Extraction emits best-alias entity
+      URIs and the canonical rewrite runs as ``rewrite_canonical``'s
+      broadcast/shuffle joins. Same triple set — ``test_kg_pipeline``
+      asserts equality between the two paths.
+
+    The GAZETTEER itself (alias list + alias→entity argmax) stays
+    driver-composed on both paths: the regex matcher fundamentally needs a
+    literal pattern, so the matchable dictionary is broadcast-scale by
+    construction. A mined 10^8-alias dictionary needs a join-based matcher
+    (tokenize + broadcast-bucket join), which swaps in at the extraction
+    stage without touching the canonicalization branch here.
+    """
     alias_list = [r.alias for r in aliases.select("alias").distinct().collect()]
 
     # an extra salted repartition only pays when a caller wants a specific
@@ -369,19 +393,23 @@ def build_kg(
     if salt_partitions:
         turns = salted_repartition(turns, salt_partitions)
 
-    # canonicalization composes INTO the linking map (alias → canonical
-    # entity), so extraction emits canonical URIs directly and the
-    # post-hoc rewrite joins (rewrite_canonical) vanish from the hot path.
-    # Valid whenever the entity dictionary is broadcast-scale; a mined
-    # at-scale dictionary would instead keep the rewrite-join path.
-    canon = canonical_entity_map(aliases)
-    canon_map = {r.entity_uri: r.canonical_id for r in canon.collect()}
+    canon = canonical_entity_map(aliases, small_dim_threshold)
+    small = (
+        aliases.limit(small_dim_threshold + 1).count() <= small_dim_threshold
+    )
     best = best_alias_map(aliases)
-    composed = {a: canon_map.get(e, e) for a, e in best.items()}
-
-    triples = extract_candidate_triples(
-        turns, aliases, alias_list, entity_map=composed
-    ).withColumn("dataset_id", _conv_uri())
+    if small:
+        canon_map = {r.entity_uri: r.canonical_id for r in canon.collect()}
+        composed = {a: canon_map.get(e, e) for a, e in best.items()}
+        triples = extract_candidate_triples(
+            turns, aliases, alias_list, entity_map=composed
+        )
+    else:
+        raw = extract_candidate_triples(
+            turns, aliases, alias_list, entity_map=best
+        )
+        triples = rewrite_canonical(raw, canon)
+    triples = triples.withColumn("dataset_id", _conv_uri())
 
     rendered = triples.withColumn(
         "nt",

@@ -108,11 +108,21 @@ def ivf_topk(
     )
     v = vectors.select(F.col(id_col).alias("vec_id"), quant.alias("_v"))
     q = queries.select(F.col(query_id_col).alias("query_id"), quant.alias("_qv"))
-    cents = F.broadcast(
-        v.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("vec_id").alias("_cell"), F.col("_v").alias("_cv"))
+    # The centroids are broadcast-scale BY CONSTRUCTION (n_cells rows), so
+    # fold them into literal arrays — the rhp_signature plane-matrix trick —
+    # and compute cell assignment as a single projection. The previous
+    # crossJoin(cents) + row_number() formulation shuffled corpus×n_cells
+    # rows just to take an argmin: a 16× amplification of the full corpus
+    # through an exchange, the exact shape that dies at 10^11 vectors.
+    # This collect is O(n_cells) — a dimension read, not a data read.
+    cent_rows = v.orderBy("vec_id").limit(n_cells).collect()
+    cents_lit = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("long") for c in r._v])
+            for r in cent_rows
+        ]
     )
+    cell_ids_lit = F.array(*[F.lit(r.vec_id) for r in cent_rows])
 
     def l2sq(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -128,25 +138,33 @@ def ivf_topk(
             lambda acc, d: acc + d,
         )
 
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("_d").asc(), F.col("_cell").asc()
+    def dists(vec: str) -> Column:
+        return F.transform(cents_lit, lambda c: l2sq(F.col(vec), c))
+
+    # argmin with ties → lowest cell id: cent_rows are sorted by vec_id, so
+    # array index order IS cell-id order and array_position's first-match
+    # rule implements the tie-break exactly
+    assign_idx = F.array_position(dists("_v"), F.array_min(dists("_v")))
+    assign = v.withColumn(
+        "_cell", F.element_at(cell_ids_lit, assign_idx.cast("int"))
     )
-    assign = (
-        v.crossJoin(cents)
-        .withColumn("_d", l2sq(F.col("_v"), F.col("_cv")))
-        .withColumn("_r", F.row_number().over(w_assign))
-        .filter(F.col("_r") == 1)
-        .select("vec_id", "_v", "_cell")
-    )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("_d").asc(), F.col("_cell").asc()
+    # probe sets: sort (distance, cell) structs — array_sort orders struct
+    # fields lexicographically, matching the (dist asc, cell asc) tie-break
+    probe_structs = F.transform(
+        F.sequence(F.lit(1), F.lit(len(cent_rows))),
+        lambda i: F.struct(
+            F.element_at(dists("_qv"), i).alias("d"),
+            F.element_at(cell_ids_lit, i).alias("cell"),
+        ),
     )
     probes = F.broadcast(
-        q.crossJoin(cents)
-        .withColumn("_d", l2sq(F.col("_qv"), F.col("_cv")))
-        .withColumn("_r", F.row_number().over(w_probe))
-        .filter(F.col("_r") <= n_probe)
-        .select("query_id", "_qv", "_cell")
+        q.select(
+            "query_id",
+            "_qv",
+            F.explode(
+                F.slice(F.array_sort(probe_structs), 1, n_probe)
+            ).alias("_pc"),
+        ).select("query_id", "_qv", F.col("_pc.cell").alias("_cell"))
     )
     cand = assign.join(probes, "_cell").select("query_id", "vec_id", "_v", "_qv")
     sim = idot(F.col("_v"), F.col("_qv")).cast("double") / F.sqrt(

@@ -152,3 +152,19 @@ def test_per_turn_text_equality_under_stable_ordering(spark, aliases):
     diff = out1.select(cols).exceptAll(out2.select(cols)).count()
     diff2 = out2.select(cols).exceptAll(out1.select(cols)).count()
     assert diff == 0 and diff2 == 0
+
+
+def test_build_kg_at_scale_path_matches_broadcast_path(spark, aliases):
+    """Forcing small_dim_threshold=0 exercises the at-scale branch: the
+    canonical map is never collected (distributed LSH+CC + rewrite joins)
+    yet the emitted triple set is identical to the composed-map literal
+    path (VERDICT r2 #1)."""
+    t = synth_transcripts(spark, n_conv=10, seed=11)
+    cols = ["conv_id", "subj", "pred", "obj_value", "obj_kind",
+            "obj_lang", "obj_datatype", "turn_idx", "dataset_id"]
+    small = build_kg(spark, t, aliases)["triples"].select(cols)
+    at_scale = build_kg(spark, t, aliases, small_dim_threshold=0)[
+        "triples"
+    ].select(cols)
+    assert small.exceptAll(at_scale).count() == 0
+    assert at_scale.exceptAll(small).count() == 0
