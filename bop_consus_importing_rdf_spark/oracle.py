@@ -395,6 +395,74 @@ def q_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ttl_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Render the fixture graph as Turtle (directives + prefixed-name
+    lines), parse it back with the native Turtle reader, emit N-Triples.
+    Oracle = ``nt_render`` straight off the graph, so the hash compare
+    proves ttl-parse ∘ ttl-render == id (prefix expansion, `a`, escaping,
+    lang/datatype round-trips included)."""
+    from .functions.formats import PREFIXES
+    from .sources.turtle_io import parse_turtle
+
+    lines = q_ttl_render(spark, sf_dir).withColumnRenamed("line", "value")
+    # the directive map is known from the renderer — passing it skips the
+    # extract collect; extract_prefixes() is tested separately
+    parsed = parse_turtle(lines, prefixes=PREFIXES)
+    return parsed.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
+def q_nquads_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-Quads parse ∘ render == id, graph label included."""
+    from .sources.rdf_io import parse_nquads
+
+    lines = q_nquads_render(spark, sf_dir).withColumnRenamed("line", "value")
+    parsed = parse_nquads(lines)
+    return parsed.select(
+        "graph",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line"),
+    )
+
+
+def q_trig_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG parse ∘ render == id: per-document graph blocks back to
+    (graph, N-Triples line) rows."""
+    from .functions.formats import PREFIXES
+    from .sources.turtle_io import parse_trig
+
+    docs = q_trig_render(spark, sf_dir)
+    parsed = parse_trig(docs, prefixes=PREFIXES, carry_cols=("doc_id",))
+    return parsed.select(
+        "graph",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line"),
+    )
+
+
+def q_jsonld_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened JSON-LD parse ∘ render == id (JSON escaping, \\u00XX
+    control-char round-trip, @language/@type included)."""
+    from .sources.jsonld_io import parse_jsonld
+
+    lines = q_jsonld_render(spark, sf_dir).withColumnRenamed("line", "value")
+    parsed = parse_jsonld(lines)
+    return parsed.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
 def q_dataset_subjects(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.cleanup import dataset_subjects, remove_lowercase_dataset_typo
 
@@ -1081,6 +1149,24 @@ ORACLES: dict[str, str] = {
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
         f"SELECT {sql_nt_line()} AS line FROM graph"
     ),
+    "ttl_parse_roundtrip": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT {sql_nt_line()} AS line FROM graph"
+    ),
+    "jsonld_parse_roundtrip": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT {sql_nt_line()} AS line FROM graph"
+    ),
+    "nquads_parse_roundtrip": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT 'urn:graph:'||doc_id AS graph, {sql_nt_line()} AS line "
+        f"FROM graph"
+    ),
+    "trig_parse_roundtrip": (
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        f"SELECT 'urn:graph:'||doc_id AS graph, {sql_nt_line()} AS line "
+        f"FROM graph"
+    ),
     "ttl_render": (
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
         + "SELECT line FROM (VALUES "
@@ -1538,6 +1624,10 @@ ORACLES: dict[str, str] = {
 SPARK_QUERIES = {
     "nt_render": q_nt_render,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
+    "ttl_parse_roundtrip": q_ttl_parse_roundtrip,
+    "nquads_parse_roundtrip": q_nquads_parse_roundtrip,
+    "trig_parse_roundtrip": q_trig_parse_roundtrip,
+    "jsonld_parse_roundtrip": q_jsonld_parse_roundtrip,
     "ttl_render": q_ttl_render,
     "nquads_render": q_nquads_render,
     "trig_render": q_trig_render,

@@ -109,9 +109,13 @@ _NT_PATTERN = (
 
 
 def parse_ntriples(
-    lines: DataFrame, line_col: str = "value", keep_malformed: bool = False
+    lines: DataFrame,
+    line_col: str = "value",
+    keep_malformed: bool = False,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """S5: N-Triples text → statement rows.
+    """S5: N-Triples text → statement rows (+ ``carry_cols`` passed through,
+    e.g. the graph column :func:`parse_nquads` splits off).
 
     The ingestion hot path at 100 TB, so the STRUCTURE parse is entirely
     JVM-side ``regexp_extract`` column expressions — whole-stage-codegen,
@@ -223,6 +227,7 @@ def parse_ntriples(
     parsed = (
         lines.filter((stripped != "") & ~stripped.startswith("#"))
         .select(
+            *[F.col(c) for c in carry_cols],
             F.when(has_ctl, fb["subj"])
             .when(matched, subj)
             .alias("subj"),
@@ -251,3 +256,37 @@ def parse_ntriples(
     if keep_malformed:
         return parsed
     return parsed.filter(F.col("obj_kind").isNotNull())
+
+
+# N-Quads = N-Triples + optional graph label (IRI or bnode) before the dot.
+# One regex pass splits the label off; the rest delegates to parse_ntriples,
+# so every sentinel / escaping / malformed behavior is inherited verbatim.
+_NQ_SPLIT = (
+    r"^(\s*(?:<[^>]*>|_:\S+)\s+<[^>]*>\s+"
+    r'(?:<[^>]*>|_:\S+|"(?:[^"\\]|\\.)*"'
+    r"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?))"
+    r"\s+(<[^>]*>|_:\S+)\s*\.\s*$"
+)
+
+
+def parse_nquads(
+    lines: DataFrame, line_col: str = "value", keep_malformed: bool = False
+) -> DataFrame:
+    """S5 (N-Quads): statement rows + ``graph`` column.
+
+    Per the N-Quads spec the graph label is OPTIONAL — a plain N-Triples
+    line parses with ``graph`` NULL (the default graph). IRI labels are
+    unbracketed; blank-node labels pass through as ``_:…``."""
+    line = F.col(line_col)
+    g_raw = F.nullif(F.regexp_extract(line, _NQ_SPLIT, 2), F.lit(""))
+    graph = F.when(
+        g_raw.startswith("<"),
+        F.substring(g_raw, F.lit(2), F.length(g_raw) - 2),
+    ).otherwise(g_raw)
+    # matched lines shrink to their SPO triple; unmatched pass through
+    # unchanged (either a valid 3-term line → default graph, or malformed)
+    rewritten = F.regexp_replace(line, _NQ_SPLIT, "$1 .")
+    base = lines.select(graph.alias("graph"), rewritten.alias("_nt"))
+    return parse_ntriples(
+        base, "_nt", keep_malformed=keep_malformed, carry_cols=("graph",)
+    )

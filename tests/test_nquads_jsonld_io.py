@@ -1,0 +1,107 @@
+"""N-Quads and flattened JSON-LD input parse: roundtrips + edge cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.functions.formats import (
+    graph_iri,
+    jsonld_line,
+    nq_line,
+)
+from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+from bop_consus_importing_rdf_spark.sources.jsonld_io import parse_jsonld
+from bop_consus_importing_rdf_spark.sources.rdf_io import parse_nquads
+
+KEY = ["subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"]
+
+ROWS = [
+    ("d1", "urn:s", "urn:p", "urn:o", "iri", None, None),
+    ("d1", "_:b0", "urn:p", "_:b1", "bnode", None, None),
+    ("d2", "urn:s", "urn:p", 'esc"ape\\me\nnow\ttab', "literal", None, None),
+    ("d2", "urn:s", "urn:p", "hallo", "literal", "de", None),
+    ("d2", "urn:s", "urn:p", "42", "literal", None,
+     "http://www.w3.org/2001/XMLSchema#integer"),
+    ("d3", "urn:s", "urn:p", "naïve ünïcode \x01ctl", "literal", None, None),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        ROWS,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string, obj_datatype string",
+    )
+
+
+def test_nquads_parse_render_roundtrip(spark):
+    t = _docs(spark)
+    lines = t.select(
+        nq_line(F.col("doc_id"), *[F.col(c) for c in KEY]).alias("value")
+    )
+    parsed = parse_nquads(lines)
+    a = parsed.select(
+        "graph", nt_line(*[F.col(c) for c in KEY]).alias("line")
+    )
+    b = t.select(
+        graph_iri(F.col("doc_id")).alias("graph"),
+        nt_line(*[F.col(c) for c in KEY]).alias("line"),
+    )
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_nquads_default_graph_and_malformed(spark):
+    lines = spark.createDataFrame(
+        [
+            ("<urn:a> <urn:p> <urn:o> .",),          # bare triple: NULL graph
+            ("<urn:a> <urn:p> <urn:o> _:g .",),      # bnode graph label
+            ("utter garbage",),
+        ],
+        "value string",
+    )
+    kept = parse_nquads(lines, keep_malformed=True).collect()
+    got = {r.obj_kind: r.graph for r in kept}
+    assert len(kept) == 3
+    rows = {(r.subj, r.graph) for r in kept if r.obj_kind is not None}
+    assert rows == {("urn:a", None), ("urn:a", "_:g")}
+    assert sum(1 for r in kept if r.obj_kind is None) == 1
+    assert got is not None  # silence lints
+
+
+def test_jsonld_parse_render_roundtrip(spark):
+    t = _docs(spark).filter(~F.col("obj_value").contains("\x01"))
+    lines = t.select(
+        jsonld_line(*[F.col(c) for c in KEY]).alias("value")
+    )
+    parsed = parse_jsonld(lines)
+    a = parsed.select(nt_line(*[F.col(c) for c in KEY]).alias("line"))
+    b = t.select(nt_line(*[F.col(c) for c in KEY]).alias("line"))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_jsonld_control_chars_roundtrip_via_u_escapes(spark):
+    """C0 controls render as \\u00XX (JSON requires it) and parse back."""
+    t = spark.createDataFrame(
+        [("urn:s", "urn:p", "a\x01b\x02c\x07d", "literal", None, None)],
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string, obj_datatype string",
+    )
+    lines = t.select(jsonld_line(*[F.col(c) for c in KEY]).alias("value"))
+    raw = lines.collect()[0].value
+    assert "\\u0001" in raw and "\x01" not in raw
+    got = parse_jsonld(lines).collect()[0]
+    assert got.obj_value == "a\x01b\x02c\x07d"
+    assert got.obj_kind == "literal"
+
+
+def test_jsonld_malformed_bucket(spark):
+    lines = spark.createDataFrame(
+        [('{"@context": "http://x", "name": "full jsonld doc"}',),
+         ('{"@id":"s","p":[{"@id":"o"}]}',)],
+        "value string",
+    )
+    kept = parse_jsonld(lines, keep_malformed=True)
+    assert kept.filter(F.col("obj_kind").isNull()).count() == 1
+    assert parse_jsonld(lines).count() == 1

@@ -1,0 +1,152 @@
+"""Turtle / TriG input parse: roundtrip vs the S10 renderers + edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.functions.formats import (
+    PREFIXES,
+    prefix_directives,
+    trig_docs,
+    ttl_line,
+)
+from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+from bop_consus_importing_rdf_spark.sources.turtle_io import (
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    extract_prefixes,
+    parse_trig,
+    parse_turtle,
+)
+from bop_consus_importing_rdf_spark.vocab import RDF_TYPE, XSD_NS
+
+from .conftest import triples_df
+
+KEY = ["subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"]
+
+ROWS = [
+    ("urn:s", "http://purl.org/dc/terms/title", "urn:o", "iri"),
+    ("_:b0", "urn:p:x", "_:b1", "bnode"),
+    ("urn:s", RDF_TYPE, "http://www.w3.org/ns/dcat#Dataset", "iri"),
+    ("urn:s", "urn:p:y", 'esc"ape\\me\nnow\ttab', "literal"),
+    ("urn:s", "urn:p:y", "hallo", "literal", "de"),
+    ("urn:s", "urn:p:y", "42", "literal", None, XSD_NS + "integer"),
+    ("urn:s", "urn:p:y", "naïve ünïcode", "literal"),
+]
+
+
+def _nt(df):
+    return df.select(nt_line(*[F.col(c) for c in KEY]).alias("line"))
+
+
+def test_ttl_parse_render_roundtrip(spark):
+    """parse ∘ render == identity, compared in N-Triples form (xsd:string
+    normalization makes raw-column compare ill-defined, same as RDF/XML)."""
+    original = triples_df(spark, ROWS)
+    lines = spark.createDataFrame(
+        [(d,) for d in prefix_directives()], "value string"
+    ).union(
+        original.select(ttl_line(*[F.col(c) for c in KEY]).alias("value"))
+    )
+    parsed = parse_turtle(lines)
+    a, b = _nt(parsed), _nt(original)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_ttl_parse_hand_written(spark):
+    text = [
+        "@prefix ex: <urn:ex:> .",
+        "PREFIX dc: <http://purl.org/dc/terms/>",
+        "# a comment",
+        "",
+        "ex:a dc:title \"T\\u00e9st\"@en .",
+        "ex:a a ex:Thing .",
+        "<urn:x> ex:n 42 .",
+        "<urn:x> ex:d 3.14 .",
+        "<urn:x> ex:e 1.0e3 .",
+        "<urn:x> ex:b true .",
+        "<urn:x> ex:t \"typed\"^^ex:dt .",
+        "ex:a ex:self ex: .",
+    ]
+    lines = spark.createDataFrame([(t,) for t in text], "value string")
+    got = {
+        (r.subj, r.pred): (r.obj_value, r.obj_kind, r.obj_lang, r.obj_datatype)
+        for r in parse_turtle(lines).collect()
+    }
+    assert got[("urn:ex:a", "http://purl.org/dc/terms/title")] == (
+        "Tést", "literal", "en", None
+    )
+    assert got[("urn:ex:a", RDF_TYPE)] == ("urn:ex:Thing", "iri", None, None)
+    assert got[("urn:x", "urn:ex:n")] == ("42", "literal", None, XSD_INTEGER)
+    assert got[("urn:x", "urn:ex:d")] == ("3.14", "literal", None, XSD_DECIMAL)
+    assert got[("urn:x", "urn:ex:e")] == ("1.0e3", "literal", None, XSD_DOUBLE)
+    assert got[("urn:x", "urn:ex:b")] == ("true", "literal", None, XSD_BOOLEAN)
+    assert got[("urn:x", "urn:ex:t")] == ("typed", "literal", None, "urn:ex:dt")
+    assert got[("urn:ex:a", "urn:ex:self")] == ("urn:ex:", "iri", None, None)
+
+
+def test_ttl_undeclared_prefix_and_unsupported_lines_are_malformed(spark):
+    text = [
+        "@prefix ex: <urn:ex:> .",
+        "nope:a ex:p ex:b .",          # undeclared subject prefix
+        "ex:a ex:p nope:b .",          # undeclared object prefix
+        "ex:a ex:p \"x\"^^nope:dt .",  # undeclared datatype prefix
+        "ex:a ex:p ex:b ; ex:q ex:c .",  # predicate list unsupported
+        "ex:a ex:p 'single' .",        # single-quoted unsupported
+        "ex:a ex:p ex:b .",            # the one good line
+    ]
+    lines = spark.createDataFrame([(t,) for t in text], "value string")
+    kept = parse_turtle(lines, keep_malformed=True)
+    assert kept.filter(F.col("obj_kind").isNotNull()).count() == 1
+    assert kept.filter(F.col("obj_kind").isNull()).count() == 5
+    assert parse_turtle(lines).count() == 1
+
+
+def test_ttl_base_directive_raises(spark):
+    lines = spark.createDataFrame(
+        [("@base <http://x/> .",), ("<a> <b> <c> .",)], "value string"
+    )
+    with pytest.raises(ValueError, match="@base"):
+        extract_prefixes(lines)
+
+
+def test_ttl_sentinel_bytes_take_fallback(spark):
+    lines = spark.createDataFrame(
+        [('<urn:a> <urn:p> "a\x01b\x02c" .',)], "value string"
+    )
+    got = parse_turtle(lines).collect()
+    assert len(got) == 1
+    assert got[0].obj_value == "a\x01b\x02c"
+
+
+def test_trig_parse_roundtrip(spark):
+    rows = [
+        ("d1",) + r for r in [
+            ("urn:s", "urn:p:x", "v1", "literal", None, None),
+            ("urn:s", "urn:p:y", "urn:o", "iri", None, None),
+        ]
+    ] + [
+        ("d2", "_:b", "urn:p:x", "hey\nthere", "literal", "en", None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "doc_id string, subj string, pred string, obj_value string, "
+        "obj_kind string, obj_lang string, obj_datatype string",
+    )
+    docs = trig_docs(t)
+    parsed = parse_trig(docs, prefixes=PREFIXES, carry_cols=("doc_id",))
+    back = parsed.select(
+        "doc_id", *[F.col(c) for c in KEY]
+    )
+    orig = t.select("doc_id", *[F.col(c) for c in KEY])
+    a = back.withColumn("line", nt_line(*[F.col(c) for c in KEY]))
+    b = orig.withColumn("line", nt_line(*[F.col(c) for c in KEY]))
+    assert a.select("doc_id", "line").exceptAll(b.select("doc_id", "line")).count() == 0
+    assert b.select("doc_id", "line").exceptAll(a.select("doc_id", "line")).count() == 0
+    # graph column carries the per-document graph IRI
+    graphs = {r.graph for r in parsed.select("graph").distinct().collect()}
+    assert graphs == {"urn:graph:d1", "urn:graph:d2"}
