@@ -77,6 +77,48 @@ def alias_table(spark: SparkSession) -> DataFrame:
     )
 
 
+def e2e_transcript_rows(
+    n_conv: int = 40, seed: int = 7
+) -> list[tuple[str, int, str, str, str | None, int]]:
+    """Deterministic PYTHON-literal transcript corpus for the end-to-end
+    oracle: the same list feeds ``spark.createDataFrame`` AND renders as a
+    DuckDB ``VALUES`` clause, so the full pipeline (stable ordering →
+    extraction → linking → canonicalization → emission → dedup) is
+    byte-checkable. The xxhash-based :func:`synth_transcripts` stays the
+    bench/scale corpus — its hashes are not reproducible in SQL.
+
+    Includes the pipeline's hard cases: a hot conversation, ~5%
+    double-delivered (conv_id, turn_idx) rows the stable-order window must
+    drop deterministically, no-mention turns, and ESCAPE_TAIL literals.
+
+    Returns ``(conv_id, turn_idx, role, text, tool, epoch_seconds)``.
+    """
+    import random
+
+    rng = random.Random(seed)
+    aliases = sorted({a for a, _, _ in alias_rows()})
+    roles = ("user", "assistant", "tool")
+    rows: list[tuple[str, int, str, str, str | None, int]] = []
+    for c in range(n_conv):
+        conv = f"conv-{c:04d}"
+        n_turns = 60 if c == 0 else rng.randint(4, 12)
+        for t in range(n_turns):
+            a = aliases[rng.randrange(len(aliases))]
+            b = aliases[rng.randrange(len(aliases))]
+            year = 1995 + rng.randrange(30)
+            if rng.random() < 0.2:
+                text = f"nothing to report in {year}"
+            else:
+                text = f"{a} released {b} in {year}"
+            if rng.random() < 0.1:
+                text += ESCAPE_TAIL
+            ts = _EPOCH0 + c * 3600 + t * 30
+            rows.append((conv, t, roles[t % 3], text, None, ts))
+            if rng.random() < 0.05:  # double delivery, later ts → dropped
+                rows.append((conv, t, "user", text + " redelivered", None, ts + 5))
+    return rows
+
+
 def _h(*cols, salt: str) -> F.Column:
     """Deterministic non-negative 'random' long from the key columns."""
     return F.abs(F.xxhash64(F.lit(salt), *cols))

@@ -881,6 +881,37 @@ def q_entity_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entity_map(alias_table(spark))
 
 
+def q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL north-rule pipeline, end-to-end, oracle-checked: stable
+    turn ordering (incl. double-delivery drop) → fused mention/relation
+    extraction → prior-argmax linking → MinHash/Jaccard+CC canonicalization
+    → candidate-triple emission → conv-level relation dedup. Runs over the
+    Python-literal corpus (``kg/synth.py::e2e_transcript_rows``) that the
+    DuckDB twin reproduces as a VALUES clause — closing round 2's last
+    rows-only gap."""
+    import datetime as _dt
+
+    from .kg.pipeline import build_kg
+    from .kg.synth import alias_table, e2e_transcript_rows
+
+    rows = [
+        (c, t, r, x, tool, _dt.datetime.utcfromtimestamp(ts))
+        for c, t, r, x, tool, ts in e2e_transcript_rows()
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    # scramble physical order so the stable-ordering window is exercised
+    tdf = tdf.repartition(8, F.xxhash64("conv_id", "turn_idx", "text"))
+    out = build_kg(spark, tdf, alias_table(spark))["triples"]
+    return out.select(
+        "conv_id", "turn_idx", "subj", "pred", "obj_value", "obj_kind",
+        "obj_lang", "obj_datatype", "dataset_id",
+    )
+
+
 def q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN, quantized-exact (engine-stable integer
     signature bits + single-division cosine) so the bucket join, dedup and
@@ -1087,6 +1118,103 @@ def _alias_values_sql() -> str:
     return "SELECT * FROM (VALUES " + ", ".join(
         f"('{a}', '{e}', {p})" for a, e, p in alias_rows()
     ) + ") t(alias, entity_uri, prior)"
+
+
+def _e2e_oracle_sql() -> str:
+    """DuckDB twin of the FULL transcript pipeline (``build_kg``): the
+    Python-literal corpus as VALUES, stable-order dedup as a window,
+    longest-first mention regexp, argmax linking, the same exact-Jaccard+CC
+    canonicalization CTEs as ``entity_canonical_map``, triple emission and
+    conv-level relation dedup — mirrors ``kg/pipeline.py`` stage for
+    stage."""
+    from .kg.synth import alias_rows, e2e_transcript_rows
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ", ".join(
+        f"('{q(c)}', {t}, '{q(x)}', {ts})"
+        for (c, t, _r, x, _tool, ts) in e2e_transcript_rows()
+    )
+    # longest-first alternation == the trie's longest-match-wins semantics
+    aliases = sorted(
+        {a for a, _, _ in alias_rows()}, key=lambda a: (-len(a), a)
+    )
+    mention_re = r"\b(" + "|".join(aliases) + r")\b"
+    tmpl = r"^(.*?) released (.*?) in (\d{4})"
+    gyear = f"{XSD_NS}gYear"
+    null = "CAST(NULL AS varchar)"
+    return f"""
+WITH RECURSIVE
+t(conv_id, turn_idx, text, ts) AS (VALUES {values}),
+aliases AS ({_alias_values_sql()}),
+norms AS (SELECT DISTINCT entity_uri, trim(regexp_replace(
+  regexp_replace(lower(alias), '{_LEGAL_SUFFIXES_SQL}', '', 'g'),
+  '\\s+', ' ', 'g')) AS n FROM aliases),
+prof AS (SELECT entity_uri, string_agg(n, '|' ORDER BY n) AS profile
+  FROM norms WHERE n <> '' GROUP BY entity_uri),
+csh AS (SELECT DISTINCT entity_uri AS id,
+  substring(profile, pos, 3) AS shingle FROM (
+    SELECT entity_uri, profile,
+    unnest(range(1, greatest(length(profile)-2, 1)+1)) AS pos FROM prof)),
+cinter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+  FROM csh a JOIN csh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+csizes AS (SELECT id, count(*) AS n FROM csh GROUP BY id),
+edges AS (SELECT i.id_a AS a, i.id_b AS b FROM cinter i
+  JOIN csizes sa ON sa.id = i.id_a JOIN csizes sb ON sb.id = i.id_b
+  WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.8),
+{_CC_CTE.strip().rstrip()}
+, canon AS (SELECT u.entity_uri,
+  coalesce(c.component, u.entity_uri) AS canonical_id
+  FROM (SELECT DISTINCT entity_uri FROM aliases) u
+  LEFT JOIN comp c ON c.src = u.entity_uri),
+best AS (SELECT alias, entity_uri FROM (
+  SELECT alias, entity_uri, row_number() OVER (PARTITION BY alias
+    ORDER BY prior DESC, entity_uri ASC) AS rk FROM aliases) WHERE rk = 1),
+link AS (SELECT b.alias, coalesce(c.canonical_id, b.entity_uri) AS ent
+  FROM best b LEFT JOIN canon c ON c.entity_uri = b.entity_uri),
+turns AS (SELECT conv_id, turn_idx, text,
+  'urn:kg:turn:'||conv_id||':'||cast(turn_idx AS varchar) AS turn_uri
+  FROM (SELECT conv_id, turn_idx, text, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts ASC, text ASC) AS rk FROM t)
+  WHERE rk = 1),
+men AS (SELECT conv_id, turn_idx, turn_uri,
+  unnest(regexp_extract_all(text, '{mention_re}')) AS alias FROM turns),
+mention_triples AS (SELECT DISTINCT m.conv_id, m.turn_idx,
+  m.turn_uri AS subj, 'urn:kg:pred:mentions' AS pred, l.ent AS obj_value,
+  'iri' AS obj_kind, {null} AS obj_lang, {null} AS obj_datatype
+  FROM men m JOIN link l ON l.alias = m.alias),
+rel AS (SELECT conv_id, turn_idx, turn_uri,
+  trim(regexp_extract(text, '{tmpl}', 1)) AS g1,
+  trim(regexp_extract(text, '{tmpl}', 2)) AS g2,
+  regexp_extract(text, '{tmpl}', 3) AS g3
+  FROM turns WHERE regexp_matches(text, '{tmpl}')),
+relok AS (SELECT r.conv_id, r.turn_idx, r.turn_uri,
+  l1.ent AS subj_ent, l2.ent AS obj_ent, r.g3
+  FROM rel r JOIN link l1 ON l1.alias = r.g1
+  JOIN link l2 ON l2.alias = r.g2),
+year_triples AS (SELECT conv_id, turn_idx, turn_uri AS subj,
+  'urn:kg:pred:inYear' AS pred, g3 AS obj_value, 'literal' AS obj_kind,
+  {null} AS obj_lang, '{gyear}' AS obj_datatype FROM relok),
+rel_triples AS (SELECT conv_id, min(turn_idx) AS turn_idx,
+  subj_ent AS subj, 'urn:kg:pred:released' AS pred, obj_ent AS obj_value,
+  'iri' AS obj_kind, {null} AS obj_lang, {null} AS obj_datatype
+  FROM relok GROUP BY conv_id, subj_ent, obj_ent),
+fixed_triples AS (
+  SELECT conv_id, turn_idx, turn_uri AS subj, 'urn:kg:pred:text' AS pred,
+    text AS obj_value, 'literal' AS obj_kind, {null} AS obj_lang,
+    {null} AS obj_datatype FROM turns
+  UNION ALL
+  SELECT conv_id, turn_idx, turn_uri, '{RDF_TYPE}', 'urn:kg:class:Turn',
+    'iri', {null}, {null} FROM turns),
+allt AS (
+  SELECT * FROM mention_triples UNION ALL SELECT * FROM year_triples
+  UNION ALL SELECT * FROM rel_triples UNION ALL SELECT * FROM fixed_triples)
+SELECT conv_id, cast(turn_idx AS int) AS turn_idx, subj, pred, obj_value,
+  obj_kind, obj_lang, obj_datatype, 'urn:kg:conv:'||conv_id AS dataset_id
+FROM allt
+"""
 
 
 def _planes_values_sql(n_planes: int = 16, dim: int = 64, seed: int = 42) -> str:
@@ -1667,4 +1795,7 @@ SPARK_QUERIES = {
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,
     "events_session_stats": q_events_session_stats,
+    "kg_transcripts_e2e": q_kg_transcripts_e2e,
 }
+
+ORACLES["kg_transcripts_e2e"] = _e2e_oracle_sql()
