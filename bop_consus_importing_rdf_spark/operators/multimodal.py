@@ -2,11 +2,14 @@
 
 Image/audio/video bytes ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages. The decode step itself is STUBBED (no image/audio
-libs in this container): ``decode_image_features`` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder (byte-statistics features) exercises the real Spark plumbing —
-schema, batching, partitioning — end to end.
+``mapInPandas`` stages. The decode step is CAPABILITY-GATED: when Pillow
+imports, ``decode_image_features``/``resize_media`` run a real
+decode+pool/resample; otherwise they raise ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder (byte-statistics
+features) exercises the identical Spark plumbing — schema, batching,
+partitioning — end to end. This container has no imaging libs, so the real
+branch is covered by an ``importorskip`` test that activates wherever
+Pillow exists.
 """
 
 from __future__ import annotations
@@ -17,6 +20,17 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _pillow():
+    """Capability probe: the ``PIL.Image`` module, or None if Pillow is not
+    importable in the executor environment."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = (
     "media_id string, kind string, payload binary, "
@@ -56,18 +70,35 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode payloads → fixed-size feature vectors via ``mapInPandas``.
 
-    The real implementation would Pillow-decode and pool pixels; this
-    container has no imaging libs, so only the deterministic fake path is
-    runnable. The Spark plumbing (Arrow batches, schema, partition
-    parallelism) is identical either way.
+    Real path (when Pillow imports): decode the image, grayscale it, and
+    mean-pool pixels into an ``n_dims``-wide vector. Fake path
+    (``fake=True``): deterministic md5-seeded features. Both ride the same
+    Spark plumbing (Arrow batches, schema, partition parallelism); the
+    capability probe runs lazily INSIDE the UDF so it reflects the executor
+    environment, not the driver's.
     """
-    if not fake:
+    if not fake and _pillow() is None:
         raise NotImplementedError(
-            "real image decode requires Pillow/libvips — not in this "
-            "container; pass fake=True for the deterministic stand-in"
+            "real image decode requires Pillow, which is not importable "
+            "here; pass fake=True for the deterministic stand-in"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if fake:
+            decode = lambda b: _fake_decode(b, n_dims)  # noqa: E731
+        else:
+            import io  # noqa: PLC0415
+
+            Image = _pillow()
+            if Image is None:  # executor env differs from driver
+                raise NotImplementedError("Pillow missing on executor")
+
+            def decode(b: bytes) -> list[float]:
+                # grayscale → resize to an n_dims strip == mean-pooled bins
+                img = Image.open(io.BytesIO(b)).convert("L")
+                strip = img.resize((n_dims, 1))
+                return [px / 255.0 for px in strip.getdata()]
+
         for pdf in it:
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -81,9 +112,7 @@ def decode_image_features(
                     "byte_mean": payloads.map(
                         lambda b: (sum(b) / len(b)) if len(b) else 0.0
                     ),
-                    "feature": payloads.map(
-                        lambda b: _fake_decode(bytes(b), n_dims)
-                    ),
+                    "feature": payloads.map(lambda b: decode(bytes(b))),
                 }
             )
 
@@ -100,41 +129,57 @@ def resize_media(
 ) -> DataFrame:
     """Resize payloads to a fixed byte budget via ``mapInPandas``.
 
-    The real implementation would decode + bilinear-resample pixels; with
-    no imaging libs in this container the deterministic fake path does
-    nearest-neighbor BYTE resampling (``out[j] = payload[j*len//target]``)
-    — which exercises the identical Spark plumbing (Arrow batches, binary
-    in / fixed-size out, schema change) and, being pure index arithmetic,
-    is byte-checkable against a SQL oracle (``multimodal_resize``). The
-    resampled bytes are emitted hex-encoded so downstream comparison
-    needs no binary canonicalization.
+    Real path (when Pillow imports): decode + bilinear-resample the image
+    to a square grid of ~``target_bytes`` grayscale pixels. Fake path
+    (``fake=True``): nearest-neighbor BYTE resampling
+    (``out[j] = payload[j*len//target]``) — identical Spark plumbing
+    (Arrow batches, binary in / fixed-size out, schema change) and, being
+    pure index arithmetic, byte-checkable against a SQL oracle
+    (``multimodal_resize``). Resampled bytes are emitted hex-encoded so
+    downstream comparison needs no binary canonicalization.
     """
-    if not fake:
+    if not fake and _pillow() is None:
         raise NotImplementedError(
-            "real image resize requires Pillow/libvips — not in this "
-            "container; pass fake=True for the deterministic stand-in"
+            "real image resize requires Pillow, which is not importable "
+            "here; pass fake=True for the deterministic stand-in"
         )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def resample(b) -> str:
-            b = bytes(b)
-            if not b:
-                return ""
-            n = len(b)
-            return bytes(
-                b[(j * n) // target_bytes] for j in range(target_bytes)
-            ).hex()
+        if fake:
+            def resample(b) -> str:
+                b = bytes(b)
+                if not b:
+                    return ""
+                n = len(b)
+                return bytes(
+                    b[(j * n) // target_bytes] for j in range(target_bytes)
+                ).hex()
+        else:
+            import io  # noqa: PLC0415
+
+            Image = _pillow()
+            if Image is None:
+                raise NotImplementedError("Pillow missing on executor")
+            side = max(1, int(target_bytes**0.5))
+
+            def resample(b) -> str:
+                b = bytes(b)
+                if not b:
+                    return ""
+                img = Image.open(io.BytesIO(b)).convert("L")
+                small = img.resize((side, side), Image.BILINEAR)
+                return bytes(small.getdata()).hex()
 
         for pdf in it:
-            payloads = pdf["payload"]
+            resized = pdf["payload"].map(resample)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "n_bytes": payloads.map(
-                        lambda b: target_bytes if len(b) else 0
-                    ).astype("int64"),
-                    "resized_hex": payloads.map(resample),
+                    # actual emitted byte count (== target for the fake
+                    # path, side² for the real path), not the requested one
+                    "n_bytes": (resized.str.len() // 2).astype("int64"),
+                    "resized_hex": resized,
                 }
             )
 
