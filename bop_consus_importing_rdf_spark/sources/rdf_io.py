@@ -23,7 +23,6 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -117,78 +116,74 @@ def parse_ntriples(
     """S5: N-Triples text → statement rows (+ ``carry_cols`` passed through,
     e.g. the graph column :func:`parse_nquads` splits off).
 
-    The ingestion hot path at 100 TB, so the STRUCTURE parse is entirely
-    JVM-side ``regexp_extract`` column expressions — whole-stage-codegen,
-    zero Python, no Arrow round-trip for subjects/predicates/IRIs. The one
-    thing SQL cannot express is ``\\uXXXX`` numeric unescaping, so literal
-    BODIES alone cross the Arrow boundary through a pandas UDF that
-    fast-paths escape-free strings (one vectorized ``contains`` per batch;
-    the interpreted regex substitution runs only on rows that actually
-    carry a backslash). Measured on 905k lines at local[32]: 1.4× the
-    whole-row ``mapInPandas`` parser end-to-end (2.9s vs 4.1s — this box
-    saturates its memory bus, a real cluster fans out further), and a
-    pandas ``.str``-chain rewrite measured 2× SLOWER than the per-row loop
-    (pandas string ops are per-row loops with per-op overhead; the only
-    real fix is keeping structure parsing in the JVM).
+    The ingestion hot path at 100 TB, so the plan SPLITS the line stream on
+    a cheap codegen'd predicate and unions two branches:
+
+    - **clean branch** (in practice: everything): a 100% JVM plan — one
+      packed ``regexp_replace`` pass for structure, short anchored extracts
+      for the object sub-fields, a ``replace``-chain for ECHAR unescaping.
+      Whole-stage-codegen end to end, ZERO Python, no Arrow round trip.
+    - **assist branch** (lines carrying ``\\x01``/``\\x02`` — plain
+      N-Triples PERMITS raw C0 controls in literal bodies, only *canonical*
+      NT mandates escapes — or a ``\\u``/``\\U`` sequence, the one construct
+      SQL can't unescape): whole-line exact Python parse (``_parse_one``,
+      round-trip tested) through one Arrow-batched pandas UDF.
+
+    Earlier rounds kept ONE branch and shipped per-row NULLs to the pandas
+    UDFs instead; measured at 905k clean lines / local[32], those always-on
+    Python exchanges cost 2.4× end-to-end (6.5s vs 2.7s) even with all-NULL
+    batches — the split-union removes them from the hot path entirely, and
+    the upstream exchange is reused across the two branches
+    (ReusedExchange), so the source is still scanned once per shuffle
+    boundary. Other measured dead ends (so nobody re-tries them): a 6-group
+    packed pattern (~8% slower — the packed string carries the literal body
+    twice), is-literal gating of the short extracts (a wash), and a pandas
+    ``.str``-chain rewrite of the fallback (2× slower than the row loop).
 
     Malformed/comment/blank lines are dropped unless ``keep_malformed``
     (then returned with ``obj_kind`` NULL and the raw line in
     ``obj_value`` for lineage auditing).
-
-    Plain N-Triples PERMITS raw C0 controls inside literal bodies (only
-    *canonical* N-Triples mandates ``\\u`` escapes), so the JVM fast path's
-    in-band ``\\x01``/``\\x02`` sentinels cannot be assumed absent: any line
-    carrying either byte is routed whole to the Python ``_parse_one``
-    fallback (two cheap non-regex ``contains`` probes per line; the Arrow
-    batch ships NULL for every clean line). Clean lines — in practice all
-    of them — never leave the JVM.
     """
-    @F.pandas_udf("string")
-    def _unescape_bodies(s: pd.Series) -> pd.Series:
-        mask = s.notna() & s.str.contains("\\", regex=False)
-        if mask.any():
-            s = s.copy()
-            s[mask] = s[mask].map(_unescape)
-        return s
-
     @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
-    def _parse_fallback(s: pd.Series) -> pd.DataFrame:
+    def _parse_py(s: pd.Series) -> pd.DataFrame:
         cols = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
                 "obj_datatype"]
-        mask = s.notna()
-        out = pd.DataFrame(None, index=s.index, columns=cols, dtype=object)
-        if mask.any():  # clean batches (in practice: all) skip the row loop
-            out.loc[mask] = pd.DataFrame(
-                [_parse_one(x) for x in s[mask]],
-                columns=cols,
-                index=s.index[mask],
-            )
-        return out
+        return pd.DataFrame(
+            [_parse_one(x) for x in s], columns=cols, index=s.index
+        )
 
     line = F.col(line_col)
     stripped = F.trim(line)
-    # sentinel-collision guard (see docstring): lines containing the raw
-    # sentinel bytes take the exact Python parser instead of the JVM path
-    has_ctl = line.contains("\x01") | line.contains("\x02")
-    fb = _parse_fallback(F.when(has_ctl, line))
+    base = lines.filter((stripped != "") & ~stripped.startswith("#"))
+    # assist-branch routing (see docstring): raw sentinel bytes would
+    # corrupt the packed split / replace-chain; \u \U need Python. Four
+    # non-regex contains probes, codegen'd. A \u inside an IRI or behind an
+    # escaped backslash over-routes harmlessly — the Python parser is exact.
+    needs_py = (
+        line.contains("\x01") | line.contains("\x02")
+        | line.contains("\\u") | line.contains("\\U")
+    )
+    # Always-true NONDETERMINISTIC guard: stops Catalyst pushing the two
+    # branch filters below an upstream exchange. With the filters above it,
+    # the branches share ONE identical exchange subtree and ReuseExchange
+    # materializes the upstream exactly once — without the guard, each
+    # branch gets its own filtered copy of the whole upstream plan and an
+    # expensive producer (a render, a join) runs twice. Bare source scans
+    # still plan as two scans, which measured CHEAPER at every scale than
+    # keeping an always-on Python exchange in the single-pass plan.
+    nd_guard = F.rand(7) > F.lit(-1.0)
+    carry = [F.col(c) for c in carry_cols]
+
     # ONE regex pass over the line: pack the three groups with a \x01
     # separator, then split — measured 4× cheaper than three independent
-    # regexp_extract calls (each re-runs the full-line match). Lines whose
-    # bytes could collide with the separator were routed to the fallback
-    # above, so arity-3 here really does mean "matched".
-    # Round-3 negative results (so nobody re-tries them): (a) folding
-    # body/lang/dt into the packed pattern as a 6-group replacement measured
-    # ~8% SLOWER at sf0.1 — the packed string then carries the literal body
-    # twice and the nested quantified capture costs more than the short
-    # anchored per-obj extracts save; (b) gating those extracts behind an
-    # is-literal prefix check was also a wash on this literal-heavy corpus.
+    # regexp_extract calls (each re-runs the full-line match). Sentinel
+    # collisions were routed to the assist branch, so arity-3 here really
+    # does mean "matched".
     sep = "\x01"
     packed = F.regexp_replace(line, _NT_PATTERN, f"$1{sep}$2{sep}$3")
     parts = F.split(packed, sep)
     matched = F.size(parts) == 3
-    # F.get (NULL on out-of-bounds), NOT parts[i]: ANSI mode raises on OOB,
-    # and the Python-UDF input projection evaluates these eagerly even for
-    # unmatched (arity≠3) rows where the CASE guard would never take them
+    # F.get (NULL on out-of-bounds), NOT parts[i]: ANSI mode raises on OOB
     subj_raw = F.get(parts, 0)
     pred_raw = F.get(parts, 1)
     obj_raw = F.get(parts, 2)
@@ -201,58 +196,45 @@ def parse_ntriples(
     is_iri = obj_raw.startswith("<")
     is_bnode = obj_raw.startswith("_:")
     body_raw = F.regexp_extract(obj_raw, r'^"((?:[^"\\]|\\.)*)"', 1)
-    # ECHAR unescaping stays in SQL: neutralize escaped backslashes with a
-    # \x02 sentinel FIRST (replace-chain ordering bug otherwise: the '\' of
-    # an unescaped '\\' would fuse with a following 'n'), then the four
-    # remaining ECHARs, then restore the backslashes. Only literals still
-    # carrying a \uXXXX/\UXXXX numeric escape after sentinel-ing — the one
-    # construct SQL can't express — cross the Arrow boundary; every other
-    # row ships a NULL, which Arrow serializes to a validity bit.
+    # ECHAR unescaping in SQL: neutralize escaped backslashes with a \x02
+    # sentinel FIRST (replace-chain ordering bug otherwise: the '\' of an
+    # unescaped '\\' would fuse with a following 'n'), then the four
+    # remaining ECHARs, then restore the backslashes. \u/\U never reaches
+    # this branch.
     sent = "\x02"
     step1 = F.replace(body_raw, F.lit("\\\\"), F.lit(sent))
     echar = step1
     for raw, esc in (("n", "\n"), ("r", "\r"), ("t", "\t"), ('"', '"')):
         echar = F.replace(echar, F.lit("\\" + raw), F.lit(esc))
-    sql_unescaped = F.replace(echar, F.lit(sent), F.lit("\\"))
-    has_unicode = step1.contains("\\u") | step1.contains("\\U")
-    body = F.coalesce(
-        _unescape_bodies(F.when(has_unicode, body_raw)), sql_unescaped
-    )
+    body = F.replace(echar, F.lit(sent), F.lit("\\"))
     lang = F.nullif(
         F.regexp_extract(obj_raw, r"@([A-Za-z][A-Za-z0-9-]*)$", 1), F.lit("")
     )
     dt = F.nullif(F.regexp_extract(obj_raw, r"\^\^<([^>]*)>$", 1), F.lit(""))
 
     iri_value = F.substring(obj_raw, F.lit(2), F.length(obj_raw) - 2)
-    parsed = (
-        lines.filter((stripped != "") & ~stripped.startswith("#"))
-        .select(
-            *[F.col(c) for c in carry_cols],
-            F.when(has_ctl, fb["subj"])
-            .when(matched, subj)
-            .alias("subj"),
-            F.when(has_ctl, fb["pred"])
-            .when(matched, pred_raw)
-            .alias("pred"),
-            F.when(has_ctl, fb["obj_value"])
-            .when(~matched, line)
-            .when(is_iri, iri_value)
-            .when(is_bnode, obj_raw)
-            .otherwise(body)
-            .alias("obj_value"),
-            F.when(has_ctl, fb["obj_kind"])
-            .when(matched & is_iri, "iri")
-            .when(matched & is_bnode, "bnode")
-            .when(matched, "literal")
-            .alias("obj_kind"),
-            F.when(has_ctl, fb["obj_lang"])
-            .when(matched & ~is_iri & ~is_bnode, lang)
-            .alias("obj_lang"),
-            F.when(has_ctl, fb["obj_datatype"])
-            .when(matched & ~is_iri & ~is_bnode, dt)
-            .alias("obj_datatype"),
-        )
+    clean = base.filter(~needs_py & nd_guard).select(
+        *carry,
+        F.when(matched, subj).alias("subj"),
+        F.when(matched, pred_raw).alias("pred"),
+        F.when(~matched, line)
+        .when(is_iri, iri_value)
+        .when(is_bnode, obj_raw)
+        .otherwise(body)
+        .alias("obj_value"),
+        F.when(matched & is_iri, "iri")
+        .when(matched & is_bnode, "bnode")
+        .when(matched, "literal")
+        .alias("obj_kind"),
+        F.when(matched & ~is_iri & ~is_bnode, lang).alias("obj_lang"),
+        F.when(matched & ~is_iri & ~is_bnode, dt).alias("obj_datatype"),
     )
+    assist = (
+        base.filter(needs_py & nd_guard)
+        .select(*carry, _parse_py(line).alias("_p"))
+        .select(*carry, "_p.*")
+    )
+    parsed = clean.unionByName(assist)
     if keep_malformed:
         return parsed
     return parsed.filter(F.col("obj_kind").isNotNull())
