@@ -113,12 +113,23 @@ def reachable_closure(
     # Broadcasting the edge relation turns every hop join into a narrow
     # broadcast-hash probe — the whole unrolled expansion collapses into a
     # single stage with NO shuffles (the per-stage scheduling latency of the
-    # shuffle alternative dominates wall time on shallow graphs). The count
-    # runs on the fresh cache, so it doubles as the cache-fill action. Above
-    # the threshold (count as a cheap proxy for bytes) the joins fall back
-    # to shuffle joins, which is the correct 100-TB plan — there the edge
+    # shuffle alternative dominates wall time on shallow graphs). Above the
+    # threshold (count as a cheap proxy for bytes) the joins fall back to
+    # shuffle joins, which is the correct 100-TB plan — there the edge
     # table dwarfs executor memory and stage latency is noise.
-    n_edges = edges.count()
+    #
+    # ONE aggregation job computes the row count AND the distinct-source
+    # estimate for the unroll fan-out gate, and doubles as the cache-fill
+    # action — the previous separate `select(_src).distinct().count()`
+    # measured as a full extra pass over the fresh cache at sf0.1.
+    # approx_count_distinct (HLL, ±5% default rsd) is plenty for a coarse
+    # gate ratio; a 5% miss needs a graph sitting exactly on the threshold,
+    # where both plans are fine.
+    stats = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("_src").alias("n_src"),
+    ).first()
+    n_edges = stats["n"]
     broadcast = n_edges <= broadcast_edges_max
     if unroll > 0 and unroll_fanout_max is not None:
         # The unrolled prefix enumerates PATHS (no dedup between hops), so on
@@ -127,10 +138,8 @@ def reachable_closure(
         # average follow-out-degree: catalogue-shaped graphs sit near 1-2,
         # where path≈node and the unroll's one-job latency win is real; past
         # the threshold fall back to the loop, whose per-iteration distinct
-        # bounds the blowup. One extra count on the slim persisted edge
-        # projection — noise next to a single wasted d^4 expansion.
-        n_src = edges.select("_src").distinct().count()
-        if n_src and n_edges / n_src > unroll_fanout_max:
+        # bounds the blowup.
+        if stats["n_src"] and n_edges / stats["n_src"] > unroll_fanout_max:
             unroll = 0
     subj_nodes = None
     if prune_to_subjects:

@@ -9,6 +9,13 @@ this runs set-at-a-time: ONE closure computation for all datasets at once
 (the frontier join parallelizes over every dataset simultaneously), then one
 scoped closure for all nested catalogues. No per-dataset Python loop exists
 anywhere — the dataset count can be billions.
+
+At 100 TB, feed this a triple table persisted BUCKETED BY ``subj``
+(``sources/bucketed.py``): every stage here is a pure filter/project over
+the input until the subgraph probe join, so the bucket partitioning
+survives, and once the closure side is past the broadcast threshold the
+probe join plans with no exchange on the (big) triple side — asserted by
+``test_bucketed.py::test_split_probe_side_exchange_free_over_bucketed``.
 """
 
 from __future__ import annotations
