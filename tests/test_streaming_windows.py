@@ -146,3 +146,86 @@ def test_stream_sessionize_state_survives_batches(spark, tmp_path):
         r.event_id: r.session_idx for r in batch.collect()
     }
     assert got == batch_map
+
+
+def test_stream_sessionize_reordering_tolerates_cross_batch_disorder(
+    spark, tmp_path
+):
+    """Events arriving out of event-time order ACROSS micro-batches (but
+    within the watermark delay) still get batch-identical session labels.
+    The plain sessionizer's contract would mislabel these; the reordering
+    variant buffers them until the watermark passes."""
+    import time
+
+    from bop_consus_importing_rdf_spark.streaming.windows import (
+        stream_sessionize_reordering,
+    )
+
+    in_dir = str(tmp_path / "re_in")
+    # user 7: event 3 (T0+35m) arrives a batch AFTER events at T0+40m/45m;
+    # it must still join their session and take its in-order position.
+    # user 9: disorder across a >gap boundary — event 6 (T0+3h) arrives
+    # before event 5 (T0+2h50m); both belong to session 2.
+    rows1 = [
+        (7, 1, T0 + timedelta(minutes=40), "x"),
+        (7, 2, T0 + timedelta(minutes=45), "x"),
+        (9, 4, T0, "x"),
+        (9, 6, T0 + timedelta(hours=3), "x"),
+    ]
+    rows2 = [
+        (7, 3, T0 + timedelta(minutes=35), "x"),        # late by 10 min
+        (9, 5, T0 + timedelta(hours=2, minutes=50), "x"),  # late by 10 min
+    ]
+    # flush batches: advance the watermark far past the data, then two
+    # more batches so the engine applies it (a new watermark takes effect
+    # next-but-one micro-batch — see test_watermark_drops_late_rows)
+    flushes = [
+        [(99, 100 + i, T0 + timedelta(hours=10 + i), "x")] for i in range(3)
+    ]
+    for i, rows in enumerate([rows1, rows2, *flushes], 1):
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.parquet(
+            f"{in_dir}/f{i}"
+        )
+        time.sleep(1.1)  # distinct mtimes → deterministic file order
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{in_dir}/*")
+    )
+    q = (
+        stream_sessionize_reordering(stream, watermark_delay="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("resess")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.session_idx
+        for r in spark.sql(
+            "SELECT * FROM resess WHERE user_id IN (7, 9)"
+        ).collect()
+    }
+
+    union = spark.createDataFrame(rows1 + rows2, EVENT_SCHEMA)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    gap = F.expr("timestampdiff(MICROSECOND, _prev, ts)")
+    batch = (
+        union.withColumn("_prev", F.lag("ts").over(w))
+        .withColumn(
+            "session_idx",
+            F.sum(
+                F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+            ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    batch_map = {r.event_id: r.session_idx for r in batch.collect()}
+    assert got == batch_map
+    # and the disorder cases specifically: one session for user 7,
+    # session 2 shared by the out-of-order pair of user 9
+    assert got[3] == got[1] == got[2]
+    assert got[5] == got[6] == 2
