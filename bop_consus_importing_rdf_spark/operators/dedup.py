@@ -96,12 +96,26 @@ def minhash_signature(shingles: DataFrame, k: int = 8) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Band the signature and self-join on band key → candidate ``(id_a, id_b)``.
 
     Docs agreeing on ALL rows of ≥1 band become candidates. The join key is
     ``(band_idx, band_key)`` — uniformly distributed, shuffle-friendly.
+
+    ``max_bucket`` caps the bucket size of the self-join: buckets larger
+    than it are SKIPPED. A band bucket of size B contributes B²/2 candidate
+    pairs, so one boilerplate-driven hot bucket (shared template tokens
+    inflating n-gram overlap — a real failure mode: the sf1 scale probe
+    measured 13.3M candidates from 50k docs, of which 2,556 were true
+    pairs, 57× wall-clock) turns the linear LSH plan quadratic. Giant
+    buckets carry almost no signal — past ~theta*k agreement the docs pair
+    in multiple bands anyway, and a 4096+ bucket at a sane banding config
+    is evidence of degenerate shingles, not near-duplicates. The DuckDB
+    oracle twins apply the identical cap. Pass ``None`` to disable.
     """
     band_structs = []
     for b in range(bands):
@@ -114,6 +128,17 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         "id", F.explode(F.array(*band_structs)).alias("band")
     ).select("id", "band.band_idx", "band.band_key")
+    if max_bucket is not None:
+        # map-side-combinable count per bucket, then a semi-join that keeps
+        # only rows of sane buckets — the shuffle carries one row per
+        # bucket, not per member
+        ok = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        banded = banded.join(ok, ["band_idx", "band_key"], "left_semi")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -167,6 +192,7 @@ def minhash_dedup(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.6,
+    max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup clustering: ``(id, rep_id)`` — rep = min id of the near-dup
     cluster (connected component over the similarity edges)."""
@@ -174,7 +200,7 @@ def minhash_dedup(
 
     sh = char_shingles(df, id_col, text_col, shingle_n)
     sig = minhash_signature(sh, k)
-    cand = lsh_candidate_pairs(sig, bands, k // bands)
+    cand = lsh_candidate_pairs(sig, bands, k // bands, max_bucket)
     edges = jaccard_pairs(cand, sh, threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )

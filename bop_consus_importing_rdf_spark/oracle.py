@@ -1103,12 +1103,16 @@ _SIG8 = (
 )
 
 _BANDS8 = (
-    "banded AS ("
+    "banded0 AS ("
     + " UNION ALL ".join(
         f"SELECT id, {b} AS band_idx, mh{2*b}||'|'||mh{2*b+1} AS band_key FROM sig"
         for b in range(4)
     )
-    + ")"
+    + "), "
+    # identical hot-bucket cap as lsh_candidate_pairs(max_bucket=4096)
+    "bok AS (SELECT band_idx, band_key FROM banded0 "
+    "GROUP BY band_idx, band_key HAVING count(*) <= 4096), "
+    "banded AS (SELECT b.* FROM banded0 b JOIN bok USING (band_idx, band_key))"
 )
 
 
@@ -1432,10 +1436,15 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": (
         _SHINGLES_CTE
         + f", sig AS ({_SIG_SELECT}), "
-        "banded AS ("
+        "banded0 AS ("
         "  SELECT id, 0 AS band_idx, mh0||'|'||mh1 AS band_key FROM sig "
         "  UNION ALL SELECT id, 1, mh2||'|'||mh3 FROM sig "
         "  UNION ALL SELECT id, 2, mh4||'|'||mh5 FROM sig), "
+        # identical hot-bucket cap as lsh_candidate_pairs(max_bucket=4096)
+        "bok AS (SELECT band_idx, band_key FROM banded0 "
+        "  GROUP BY band_idx, band_key HAVING count(*) <= 4096), "
+        "banded AS (SELECT b.* FROM banded0 b "
+        "  JOIN bok USING (band_idx, band_key)), "
         "cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
         "  JOIN banded r ON l.band_idx = r.band_idx "
         "  AND l.band_key = r.band_key AND l.id < r.id), "

@@ -10,10 +10,16 @@ unioning N key-shifted copies:
 - join keys shift per copy (o_custkey/c_custkey together, so the
   orders⋈customer base join of the fixture graph stays consistent and
   every copy contributes distinct datasets);
-- document text is salted with a per-copy token BETWEEN words, so
-  cross-copy shingle sets are disjoint: the near-dup pair structure stays
-  per-copy-realistic instead of exploding into N-way exact-dup cliques
-  (which would quadratically distort LSH candidate counts);
+- document text is salted with a per-copy SUFFIX ON EVERY WORD, so each
+  copy's word-n-gram vocabulary is disjoint from every other copy's while
+  the WITHIN-copy overlap structure is exactly the original corpus's: the
+  near-dup pair count scales linearly in N instead of exploding into
+  cross-copy cliques. (A first attempt inserted a per-copy token BETWEEN
+  words; that made every pair of docs sharing a common word share the
+  shingle "tok word tok" — boilerplate-style shingle inflation that blew
+  LSH candidates to 13.3M. Kept here as a warning; the hot-bucket cap in
+  lsh_candidate_pairs now also guards the engine against real corpora
+  shaped like that.);
 - dimension tables (nation, region, part, supplier) stay as-is.
 
 Usage: python scripts/make_sfN.py [N] [OUT_DIR]   (defaults: 10 /tmp/sf1)
@@ -69,8 +75,8 @@ def main() -> None:
     )
     copies(
         f"SELECT doc_id + {{i}}*{dk} AS doc_id, "
-        f"replace(text, ' ', ' s{{i}} ') AS text, lang, source, n_chars "
-        f"FROM '{SRC}/documents.parquet'",
+        f"regexp_replace(text, '(\\S+)', '\\1x{{i}}', 'g') AS text, "
+        f"lang, source, n_chars FROM '{SRC}/documents.parquet'",
         "documents",
     )
     copies(
