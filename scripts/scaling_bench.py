@@ -27,6 +27,46 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 SIZES = (2, 8, 32)
 
+# Round-3 scale probe (static record; numbers measured 2026-08-17 in one
+# session at local[32] — rerun `python bench.py` against scripts/make_sfN.py
+# outputs to refresh). Appended to BASELINE.md on regeneration.
+SCALE_PROBE_MD = """
+## Scale probe: sf1 (10×) and sf2 (20×), derived via scripts/make_sfN.py
+
+Full headline bench at sf0.1 vs /tmp/sf1 (10× rows everywhere), same
+session, local[32] — data 10×, cores FIXED, so linear scaling would be
+10× wall; everything lands well under it (per-job overhead amortizes,
+and the box has scheduling headroom at sf0.1):
+
+| query | sf0.1 (s) | sf1 (s) | wall ratio @10× data |
+|---|---|---|---|
+| kg_pipeline (238k → 2.38M turns) | 7.8 | 14.7 | 1.9× (30.4k → 162.4k turns/s) |
+| split_datasets (905k → 9.05M triples) | 20.9 | 100.5 | 4.8× |
+| canonical_hash | 1.4 | 5.6 | 3.9× |
+| nt_render | 0.6 | 2.8 | 4.9× |
+| doc_kg_triples | 1.5 | 4.3 | 2.8× |
+| minhash_lsh_pairs (5k → 50k docs) | 6.8 | 49.9 | 7.3× |
+| cosine_topk (2k → 20k vectors) | 0.9 | 3.3 | 3.8× |
+| events_sessionize (100k → 1M events) | 0.6 | 1.0 | 1.9× |
+| nt_parse (905k → 9.05M lines) | 13.5 | 37.5 | 2.8× |
+| **total** | **53.9** | **219.5** | **4.1×** |
+
+Findings the probe produced (both fixed in round 3):
+
+- **LSH hot-bucket blowup**: the first sf1 corpus salted documents with a
+  shared per-copy token, creating boilerplate-style shingle inflation —
+  13.3M band-join candidates for 2,556 true pairs, 438s. The fix is in
+  the ENGINE, not just the data: `lsh_candidate_pairs(max_bucket=4096)`
+  skips degenerate band buckets (B²/2 candidates each), mirrored in the
+  DuckDB oracles; 438s → 49.9s with identical true-pair output.
+- **Closure broadcast→shuffle switch verified live**: sf1 has 3.38M
+  follow-edges (< the 4M broadcast threshold → broadcast-hop plan); sf2
+  has 6.76M (> threshold → shuffle-join fixpoint). split_datasets at sf2
+  ran 98.5s — about the same wall as sf1's broadcast plan at half the
+  data, i.e. the at-scale branch engages exactly where designed and holds
+  past the broadcast envelope.
+"""
+
 
 def run_once(cpus: int, sf_dir: str, n_conv: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
@@ -102,7 +142,7 @@ resource-aware selector picks the pandas-UDF matcher there; at local[32]
 faster in that regime. Both strategies are row-exact equivalent
 (test_mentions_jvm); on a real cluster, executors sized to their hosts
 take the JVM path.
-"""
+""" + SCALE_PROBE_MD
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(md)
