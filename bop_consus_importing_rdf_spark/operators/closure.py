@@ -118,6 +118,21 @@ def reachable_closure(
     # shuffle joins, which is the correct 100-TB plan — there the edge
     # table dwarfs executor memory and stage latency is noise.
     #
+    # Threshold placement (measured, local[32], round-3 scale probe, clean
+    # fresh-JVM A/B pairs): broadcast wins clearly to ~1M edges (8.3s vs
+    # 9.2-10.4s) and is a statistical TIE with shuffle at 3.4M edges on
+    # the end-to-end split (82.9s vs 83.8s; one fast-host window showed
+    # broadcast +45%) — so 4M stays the local-mode default. Two honest
+    # caveats the probe surfaced: (a) in LONG-LIVED sessions with pinned
+    # checkpoint state the broadcast plan degrades much harder than the
+    # shuffle plan (46-108s vs 18-20s on the isolated closure — memory
+    # pressure hits the ~450MB hash relation first), and (b) local mode
+    # cannot see the network fan-out of a real cluster, where broadcasting
+    # ~450MB x N executors is the dominant cost. On a multi-node
+    # deployment, size this parameter as a BYTES x executor-count budget
+    # (e.g. edges such that ~100MB per executor ships acceptably), not by
+    # this local count proxy.
+    #
     # ONE aggregation job computes the row count AND the distinct-source
     # estimate for the unroll fan-out gate, and doubles as the cache-fill
     # action — the previous separate `select(_src).distinct().count()`

@@ -59,12 +59,19 @@ Findings the probe produced (both fixed in round 3):
   the ENGINE, not just the data: `lsh_candidate_pairs(max_bucket=4096)`
   skips degenerate band buckets (B²/2 candidates each), mirrored in the
   DuckDB oracles; 438s → 49.9s with identical true-pair output.
-- **Closure broadcast→shuffle switch verified live**: sf1 has 3.38M
-  follow-edges (< the 4M broadcast threshold → broadcast-hop plan); sf2
-  has 6.76M (> threshold → shuffle-join fixpoint). split_datasets at sf2
-  ran 98.5s — about the same wall as sf1's broadcast plan at half the
-  data, i.e. the at-scale branch engages exactly where designed and holds
-  past the broadcast envelope.
+- **Closure broadcast vs shuffle, measured head-to-head**: broadcast wins
+  clearly to ~1M edges (8.3s vs 9.2-10.4s isolated closure) and is a
+  statistical tie at 3.4M edges on the end-to-end split in clean
+  fresh-JVM A/B pairs (82.9s vs 83.8s), so the 4M local default stands.
+  Two caveats recorded in closure.py: long-lived sessions with pinned
+  checkpoint state degrade the broadcast plan much harder than shuffle
+  (46-108s vs 18-20s isolated), and local mode hides real-cluster network
+  fan-out — deployments should size broadcast_edges_max as a
+  bytes x executor budget. The shuffle fixpoint itself holds to 18M
+  triples (sf2, 6.76M edges, split_datasets 98.5s). A separate
+  methodology lesson: single measurements on this box are worthless
+  (host drift up to 2x within an hour); only interleaved fresh-JVM A/B
+  pairs decide plan questions.
 """
 
 
