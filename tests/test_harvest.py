@@ -1,0 +1,107 @@
+"""End-to-end harvester CLI flow: file → parse → split → render → manifest.
+
+Drives ``harvest.run_harvest`` in-process over real files rendered from the
+sf0.001 fixture graph, in two syntaxes, and checks the outputs against the
+in-memory split of the same graph.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from harvest import detect_format, run_harvest
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    from bop_consus_importing_rdf_spark.oracle import _graph
+
+    return _graph(spark, SF_DIR)
+
+
+def test_detect_format():
+    assert detect_format("/x/dump.ttl") == "ttl"
+    assert detect_format("/x/dump.nt.gz") == "nt"
+    assert detect_format("/x/dump.rdf") == "rdfxml"
+    with pytest.raises(SystemExit):
+        detect_format("/x/dump.csv")
+
+
+def _expected(spark, graph):
+    from bop_consus_importing_rdf_spark.operators.split import split_datasets
+
+    ds_triples, datasets = split_datasets(graph)
+    return ds_triples.count(), datasets.count()
+
+
+def test_harvest_nt_gz(spark, tmp_path, graph):
+    """Gzipped N-Triples in → per-dataset payloads + manifest out, counts
+    matching the in-memory split of the same graph."""
+    from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+
+    lines = graph.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    ).collect()
+    src = tmp_path / "dump.nt.gz"
+    with gzip.open(src, "wt", encoding="utf-8") as f:
+        for r in lines:
+            f.write(r.line + "\n")
+
+    out = str(tmp_path / "out")
+    summary = run_harvest(spark, str(src), out, catalogue="cat-a")
+    exp_stmts, exp_datasets = _expected(spark, graph)
+
+    assert summary["format"] == "nt"
+    assert summary["n_rejects"] == 0
+    assert summary["n_statements"] == graph.count()
+    assert summary["n_datasets"] == exp_datasets
+    assert summary["n_dataset_statements"] == exp_stmts
+
+    # the rendered payloads really are partitioned per dataset
+    part_dirs = [p for p in Path(out, "datasets").iterdir() if p.is_dir()]
+    assert len(part_dirs) == exp_datasets
+
+    # manifest: one catalogue row, identifier list length == dataset count
+    man = [
+        json.loads(ln)
+        for p in Path(out, "manifest").glob("*.json")
+        for ln in p.read_text().splitlines()
+    ]
+    assert len(man) == 1 and man[0]["catalogue"] == "cat-a"
+    assert len(man[0]["identifiers"]) == exp_datasets
+
+    # metrics cover all three stages
+    stages = {
+        r.stage
+        for r in spark.read.parquet(f"{out}/metrics").select("stage").collect()
+    }
+    assert stages == {"parse", "split", "datasets"}
+
+
+def test_harvest_ttl_matches_nt(spark, tmp_path, graph):
+    """The same graph harvested from a TURTLE file produces the same
+    dataset count and statement count — syntax-independence of the DAG."""
+    from bop_consus_importing_rdf_spark.oracle import SPARK_QUERIES
+
+    ttl = SPARK_QUERIES["ttl_render"](spark, SF_DIR).collect()
+    src = tmp_path / "dump.ttl"
+    src.write_text("\n".join(r.line for r in ttl) + "\n", encoding="utf-8")
+
+    out = str(tmp_path / "out_ttl")
+    summary = run_harvest(spark, str(src), out)
+    exp_stmts, exp_datasets = _expected(spark, graph)
+    assert summary["format"] == "ttl"
+    assert summary["n_rejects"] == 0
+    assert summary["n_statements"] == graph.count()
+    assert summary["n_datasets"] == exp_datasets
+    assert summary["n_dataset_statements"] == exp_stmts
