@@ -63,11 +63,16 @@ def main() -> None:
     )
     from bop_consus_importing_rdf_spark.plans.resume import run_resumable
 
-    transcripts = (
-        spark.read.parquet(args.transcripts)
-        if args.transcripts
-        else synth_transcripts(spark, n_conv=args.synth_conv)
-    )
+    # a path reads as parquet; a bare name resolves through the session
+    # catalog (spark.table) — on a cluster with an Iceberg catalog
+    # configured this is the north rule's Iceberg transcript table, and
+    # snapshot isolation/time travel come from the catalog, not this job
+    if args.transcripts is None:
+        transcripts = synth_transcripts(spark, n_conv=args.synth_conv)
+    elif "/" in args.transcripts or args.transcripts.endswith(".parquet"):
+        transcripts = spark.read.parquet(args.transcripts)
+    else:
+        transcripts = spark.table(args.transcripts)
     aliases = (
         spark.read.parquet(args.aliases) if args.aliases else alias_table(spark)
     )
