@@ -160,6 +160,14 @@ def run_harvest(
         spark, input_path, fmt, pre, keep_malformed=True
     ).cache()
     n_rejects = parsed.filter(F.col("obj_kind").isNull()).count()
+    if n_rejects and not keep_malformed:
+        # reference behavior: a parse error fails the pipe with context
+        # (Flows.kt:75-77); --keep-malformed downgrades to counted rejects
+        raise SystemExit(
+            f"{n_rejects} unparseable statement(s) in {input_path} "
+            f"(format {fmt}) — rerun with --keep-malformed to continue "
+            f"and count them in metrics"
+        )
     triples = parsed.filter(F.col("obj_kind").isNotNull())
 
     ds_triples, datasets = split_datasets(

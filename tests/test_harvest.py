@@ -88,6 +88,24 @@ def test_harvest_nt_gz(spark, tmp_path, graph):
     assert stages == {"parse", "split", "datasets"}
 
 
+def test_harvest_malformed_gate(spark, tmp_path):
+    """Default: parse errors fail the run with a count (reference rethrow,
+    Flows.kt:75-77); --keep-malformed downgrades them to counted rejects."""
+    src = tmp_path / "bad.nt"
+    src.write_text(
+        "<urn:s> <urn:p> <urn:o> .\n"
+        "this line is not a statement\n",
+        encoding="utf-8",
+    )
+    with pytest.raises(SystemExit, match="1 unparseable"):
+        run_harvest(spark, str(src), str(tmp_path / "o1"))
+    summary = run_harvest(
+        spark, str(src), str(tmp_path / "o2"), keep_malformed=True
+    )
+    assert summary["n_rejects"] == 1
+    assert summary["n_statements"] == 1
+
+
 def test_harvest_ttl_matches_nt(spark, tmp_path, graph):
     """The same graph harvested from a TURTLE file produces the same
     dataset count and statement count — syntax-independence of the DAG."""
