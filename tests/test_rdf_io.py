@@ -64,6 +64,13 @@ def test_raw_control_bytes_in_literals(spark):
         ('<urn:c> <urn:p> "\x01" .', ("urn:c", "\x01", "literal")),
         ('<urn:d> <urn:p> "mix\x01\\n\x02\\u00e9" .',
          ("urn:d", "mix\x01\n\x02é", "literal")),
+        # escaped backslash before 'u' routes to Python (contains "\\u")
+        # but must decode to a literal backslash + u, NOT an escape
+        ('<urn:e> <urn:p> "a\\\\unchanged" .',
+         ("urn:e", "a\\unchanged", "literal")),
+        # 8-hex \U form (astral plane)
+        ('<urn:f> <urn:p> "\\U0001F600" .',
+         ("urn:f", "\U0001F600", "literal")),
     ]
     lines = spark.createDataFrame([(r[0],) for r in rows], "value string")
     got = {
