@@ -36,3 +36,41 @@ def test_stream_drains_and_matches_batch(spark, tmp_path):
         aliases,
     )
     assert got.count() == batch.count()
+
+
+def test_stream_parse_rdf_matches_batch(spark, tmp_path):
+    """Streaming NT ingest over a landing directory == the batch parser on
+    the same lines, including an escape-carrying line (Python branch) and
+    a malformed line (dropped)."""
+    from pyspark.sql import functions as F
+
+    from bop_consus_importing_rdf_spark.sources.rdf_io import parse_ntriples
+    from bop_consus_importing_rdf_spark.streaming.ingest import (
+        stream_parse_rdf,
+    )
+
+    lines = [
+        '<urn:a> <urn:p> "plain" .',
+        '<urn:b> <urn:p> <urn:o> .',
+        '<urn:c> <urn:p> "caf\\u00e9"@fr .',
+        "not a statement",
+    ]
+    in_dir = tmp_path / "rdf_in"
+    in_dir.mkdir()
+    (in_dir / "dump.nt").write_text("\n".join(lines) + "\n", encoding="utf-8")
+
+    out_dir = str(tmp_path / "rdf_out")
+    q = stream_parse_rdf(spark, str(in_dir), out_dir, fmt="nt")
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(f"{out_dir}/batch_id=0")
+    batch = parse_ntriples(
+        spark.createDataFrame([(l,) for l in lines], "value string")
+    )
+    cols = ["subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"]
+    assert sorted(map(tuple, got.select(cols).collect())) == sorted(
+        map(tuple, batch.select(cols).collect())
+    )
+    assert got.count() == 3  # malformed line dropped
+    café = got.filter(F.col("subj") == "urn:c").first()
+    assert café.obj_value == "café" and café.obj_lang == "fr"
