@@ -30,8 +30,15 @@ def connected_components(
     Returns ``(node, component)``.
     """
     a, b = F.col(src).alias("a"), F.col(dst).alias("b")
-    sym = edges.select(a, b).union(
-        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    # materialize the symmetric edge list ONCE: every iteration joins it,
+    # and without the checkpoint each of the O(log diameter) iterations
+    # re-executes the caller's ENTIRE upstream plan (measured: the sf1
+    # dedup pipeline at 279s total vs ~35s of actual stage work — the CC
+    # loop re-ran the shingle/LSH/verify subtree per iteration)
+    sym = (
+        edges.select(a, b)
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .localCheckpoint()
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     labels = nodes.withColumn("comp", F.col("node")).localCheckpoint()

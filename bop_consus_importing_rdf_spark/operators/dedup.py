@@ -36,6 +36,9 @@ def char_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 5
 ) -> DataFrame:
     """Distinct lowercase character n-grams per document: ``(id, shingle)``."""
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     norm = F.lower(F.col(text_col))
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
@@ -63,6 +66,9 @@ def word_ngrams(
     2.6M n-grams (sf1): 32s inlined vs 3.4s with the two-step projection,
     a 9.4× difference that grows with document length.
     """
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     t = F.col("_toks")
     grams = F.transform(
@@ -163,6 +169,58 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_star_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Bucket-star candidates for CLUSTERING dedup: each bucket member
+    pairs with the bucket's min-id representative only — ``B-1`` edges per
+    bucket instead of ``B²/2``, with identical bucket CONNECTIVITY (a star
+    spans its clique), which is all connected-components needs.
+
+    This is the standard large-scale minhash-dedup shape (verify members
+    against a representative, not all-pairs): the round-3 sf1 probe
+    measured the all-pairs form at 78M candidate pairs from 50k documents
+    on a high-overlap corpus — it filled the machine's spill disk — while
+    the star form emits ~bands × docs edges worst-case. The semantic
+    difference vs all-pairs sits in the verification step: an edge is kept
+    only if the member verifies against the REPRESENTATIVE, so a member
+    similar to other bucket members but not to the rep can stay unmerged —
+    acceptable for dedup clustering, wrong for exhaustive pair LISTING
+    (use :func:`lsh_candidate_pairs` there).
+    """
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
+        )
+    banded = signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_idx", "band.band_key")
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        banded = banded.join(ok, ["band_idx", "band_key"], "left_semi")
+    reps = banded.groupBy("band_idx", "band_key").agg(
+        F.min("id").alias("id_a")
+    )
+    return (
+        banded.join(reps, ["band_idx", "band_key"])
+        .filter(F.col("id") != F.col("id_a"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
 def _intersections(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     sh_a = shingles.select(F.col("id").alias("id_a"), "shingle")
     sh_b = shingles.select(F.col("id").alias("id_b"), "shingle")
@@ -205,12 +263,18 @@ def minhash_dedup(
     max_bucket: int | None = 4096,
 ) -> DataFrame:
     """Near-dup clustering: ``(id, rep_id)`` — rep = min id of the near-dup
-    cluster (connected component over the similarity edges)."""
+    cluster (connected component over the similarity edges).
+
+    Candidates come from :func:`lsh_candidate_star_pairs` (bucket-star):
+    clustering needs bucket connectivity, not the bucket clique, so the
+    candidate count is linear in corpus size even on high-overlap corpora
+    where the all-pairs form goes quadratic (78M pairs / disk-full at 50k
+    docs in the sf1 probe). The DuckDB twin mirrors the star shape."""
     from ..kg.cc import connected_components
 
     sh = char_shingles(df, id_col, text_col, shingle_n)
     sig = minhash_signature(sh, k)
-    cand = lsh_candidate_pairs(sig, bands, k // bands, max_bucket)
+    cand = lsh_candidate_star_pairs(sig, bands, k // bands, max_bucket)
     edges = jaccard_pairs(cand, sh, threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
@@ -234,6 +298,9 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     over tokens. Pure column ops: tokens × 32 bit-rows explode, two
     aggregations. Near-dups then pair on small hamming distance.
     """
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -314,6 +381,9 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     dialect (``1<<63``) while keeping the full 64-bit discrimination the
     32-bit variant lacks at corpus scale.
     """
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = (
         df.select(
             F.col(id_col).alias("id"),

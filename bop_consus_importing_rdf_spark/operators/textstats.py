@@ -117,6 +117,9 @@ def fingerprints(
     Returns ``(id, fingerprint)`` distinct. Pure column ops: explode +
     window-min; the window is per-document, ordered by gram position.
     """
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
     grams = df.select(

@@ -1602,9 +1602,12 @@ ORACLES: dict[str, str] = {
     ),
     "minhash_dedup_docs": (
         f"WITH RECURSIVE {_CHAR5_SHINGLES}, {_SIG8}, {_BANDS8}, "
-        "cand AS (SELECT DISTINCT l.id AS id_a, r.id AS id_b FROM banded l "
-        "  JOIN banded r ON l.band_idx = r.band_idx "
-        "  AND l.band_key = r.band_key AND l.id < r.id), "
+        # bucket-star candidates, mirroring lsh_candidate_star_pairs
+        "breps AS (SELECT band_idx, band_key, min(id) AS id_a FROM banded "
+        "  GROUP BY band_idx, band_key), "
+        "cand AS (SELECT DISTINCT r.id_a, b.id AS id_b FROM banded b "
+        "  JOIN breps r ON r.band_idx = b.band_idx "
+        "  AND r.band_key = b.band_key WHERE b.id <> r.id_a), "
         "inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter FROM cand c "
         "  JOIN sh a ON a.id = c.id_a "
         "  JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle "
