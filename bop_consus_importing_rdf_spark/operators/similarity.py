@@ -53,6 +53,9 @@ def cosine_topk(
     ``queries``: (query_id, embedding). Broadcast — the query set must be
     small (the usual case: probe queries against a huge corpus).
     """
+    from .parallelism import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -103,6 +106,9 @@ def ivf_topk(
 
     Returns ``(query_id, vec_id, cosine_sim, rank)``.
     """
+    from .parallelism import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     quant = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
@@ -270,6 +276,9 @@ def rhp_ann_topk(
     single final division make every value byte-identical to a SQL oracle
     (same trick as ``cosine_topk``'s oracle twin).
     """
+    from .parallelism import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors)
     planes = rademacher_planes(n_planes, dim, seed)
     if quantized:
         quant = F.transform(
