@@ -64,6 +64,24 @@ Findings the probe produced (both fixed in round 3):
   transform lambda — one regex split PER N-GRAM. Materializing the array
   in its own projection first cut the shingle stage 32s → 3.4s (9.4×) at
   50k docs and the full minhash entry 49.9s → 23.5s.
+- **Bucket-clique candidates in clustering dedup**: char-shingle
+  minhash_dedup on a high-overlap corpus generated 78M all-pairs
+  candidates (the bucket clique) and filled the spill disk. Clustering
+  needs bucket CONNECTIVITY only, so the operator now links members to
+  the bucket min-id representative (B-1 edges/bucket, oracle-mirrored);
+  with that plus the next two fixes, minhash_dedup_docs at sf1 went
+  disk-full → 63.7s.
+- **CC re-executed its caller's plan per iteration**: connected_components
+  never materialized the symmetric edge list, so each of the O(log d)
+  iterations re-ran the entire upstream pipeline (279s for ~35s of real
+  stage work). One localCheckpoint fixes every caller.
+- **1-2-split scans starve explode-heavy stages**: a small parquet scan
+  plans as 1-2 input splits and AQE can only coalesce, never split — so
+  shingling/simhash/fingerprint/ANN hot stages ran on 2 of 32 cores.
+  ensure_min_parallelism() (operators/parallelism.py) fans the compact
+  pre-explode rows out to the session parallelism only when the scan is
+  narrower; no-op at cluster scale. fingerprints >250s-timeout → 21.9s,
+  rhp ANN 34.3 → 9.0s, simhash pairs 28.7 → 12.4s at sf1.
 - **Closure broadcast vs shuffle, measured head-to-head**: broadcast wins
   clearly to ~1M edges (8.3s vs 9.2-10.4s isolated closure) and is a
   statistical tie at 3.4M edges on the end-to-end split in clean
