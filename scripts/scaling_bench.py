@@ -36,20 +36,26 @@ SCALE_PROBE_MD = """
 Full headline bench at sf0.1 vs /tmp/sf1 (10× rows everywhere), same
 session, local[32] — data 10×, cores FIXED, so linear scaling would be
 10× wall; everything lands well under it (per-job overhead amortizes,
-and the box has scheduling headroom at sf0.1):
+and the box has scheduling headroom at sf0.1). Throughput on the
+north-rule metric RISES with scale: 32.8k turns/s at sf0.1 → 179.1k at
+sf1 on the same cores.
 
 | query | sf0.1 (s) | sf1 (s) | wall ratio @10× data |
 |---|---|---|---|
-| kg_pipeline (238k → 2.38M turns) | 7.8 | 14.7 | 1.9× (30.4k → 162.4k turns/s) |
-| split_datasets (905k → 9.05M triples) | 20.9 | 100.5 | 4.8× |
-| canonical_hash | 1.4 | 5.6 | 3.9× |
-| nt_render | 0.6 | 2.8 | 4.9× |
-| doc_kg_triples | 1.5 | 4.3 | 2.8× |
-| minhash_lsh_pairs (5k → 50k docs) | 6.8 | 23.5 | 3.5× (after the word_ngrams O(T²) fix below) |
-| cosine_topk (2k → 20k vectors) | 0.9 | 3.3 | 3.8× |
-| events_sessionize (100k → 1M events) | 0.6 | 1.0 | 1.9× |
-| nt_parse (905k → 9.05M lines) | 13.5 | 37.5 | 2.8× |
-| **total** | **53.9** | **219.5** | **4.1×** |
+| kg_pipeline (238k → 2.38M turns) | 7.3 | 13.3 | 1.8× (32.8k → 179.1k turns/s) |
+| split_datasets (905k → 9.05M triples) | 19.2 | 48.4 | 2.5× |
+| canonical_hash | 1.4 | 3.5 | 2.4× |
+| nt_render | 0.7 | 2.3 | 3.4× |
+| doc_kg_triples | 1.3 | 1.8 | 1.4× |
+| minhash_lsh_pairs (5k → 50k docs) | 3.1 | 10.0 | 3.2× |
+| cosine_topk (2k → 20k vectors) | 0.8 | 3.9 | 4.7× |
+| events_sessionize (100k → 1M events) | 0.5 | 0.9 | 1.9× |
+| nt_parse (905k → 9.05M lines) | 12.3 | 35.8 | 2.9× |
+| **total** | **46.6** | **119.9** | **2.6×** |
+
+(The table is the FINAL same-session pair with every round-3 fix in; the
+first probe run measured 53.9 vs 219.5 — the findings below are what
+closed the gap.)
 
 Findings the probe produced (both fixed in round 3):
 
