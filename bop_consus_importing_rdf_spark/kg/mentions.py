@@ -72,7 +72,12 @@ def alias_pattern(aliases: list[str] | tuple[str, ...]) -> str:
     return r"(?U)\b(" + _trie_body(sorted(aliases)) + r")\b"
 
 
-_RELATION_TMPL = r"^(.*?) released (.*?) in (\d{4})"
+# `[^\n]`, never `.`: the dot differs per regex engine (Java also
+# excludes \r, \u0085, \u2028, \u2029 as line terminators; Python and
+# RE2 exclude only \n), so a template spelled with `.` silently breaks
+# the row-exact JVM/Arrow/oracle equivalence on text carrying those
+# characters. An explicit class has one meaning everywhere.
+_RELATION_TMPL = r"^([^\n]*?) released ([^\n]*?) in (\d{4})"
 
 # Unicode White_Space=yes, spelled as an explicit char class so BOTH engines
 # strip the exact same set (Java's bare \s is ASCII-only, Python's str.strip()

@@ -216,7 +216,9 @@ def extract_candidate_triples(
 
 
 def canonical_entity_map(
-    aliases: DataFrame, small_dim_threshold: int = 50_000
+    aliases: DataFrame,
+    small_dim_threshold: int = 50_000,
+    small: bool | None = None,
 ) -> DataFrame:
     """``(entity_uri, canonical_id)`` via similarity blocking + CC.
 
@@ -233,8 +235,16 @@ def canonical_entity_map(
       materializes the pair space.
     """
     spark = aliases.sparkSession
-    n = aliases.limit(small_dim_threshold + 1).count()
-    if n <= small_dim_threshold:
+    # `small` lets the caller (build_kg) evaluate the threshold probe ONCE
+    # and share the decision — two independent limit+count jobs would both
+    # waste a job and re-open the small/at-scale disagreement window on a
+    # nondeterministic aliases plan
+    if small is None:
+        small = (
+            aliases.limit(small_dim_threshold + 1).count()
+            <= small_dim_threshold
+        )
+    if small:
         rows = aliases.select("entity_uri", "alias").collect()
         mapping = _driver_canonical_map(
             [(r.entity_uri, r.alias) for r in rows]
@@ -321,19 +331,25 @@ def _driver_canonical_map(
 
 
 def rewrite_canonical(triples: DataFrame, canon: DataFrame) -> DataFrame:
-    """Rewrite subj/obj IRIs through the canonical map (two broadcast joins),
-    then drop exact-duplicate statements per conversation."""
-    c_subj = F.broadcast(
-        canon.select(F.col("entity_uri").alias("subj"), F.col("canonical_id").alias("_cs"))
+    """Rewrite subj/obj IRIs through the canonical map (two left joins),
+    then drop exact-duplicate statements per conversation.
+
+    No forced broadcast: this is ``build_kg``'s AT-SCALE rewrite path,
+    whose whole reason to exist is a canonical map too big to hold on the
+    driver — an explicit ``F.broadcast(canon)`` would collect exactly
+    that map driver-side and re-create the OOM the branch avoids. AQE
+    picks a broadcast join on its own whenever the map measures small at
+    runtime; past the threshold these plan as shuffle joins on uniform
+    URI keys, the correct 10^8-entity shape."""
+    c_subj = canon.select(
+        F.col("entity_uri").alias("subj"), F.col("canonical_id").alias("_cs")
     )
-    c_obj = F.broadcast(
-        canon.select(
-            F.col("entity_uri").alias("obj_value"), F.col("canonical_id").alias("_co")
-        )
+    c_obj = canon.select(
+        F.col("entity_uri").alias("obj_value"), F.col("canonical_id").alias("_co")
     )
     out = (
         triples.join(c_subj, "subj", "left")
-        .join(c_obj.hint("broadcast"), ["obj_value"], "left")
+        .join(c_obj, ["obj_value"], "left")
         .withColumn("subj", F.coalesce("_cs", F.col("subj")))
         .withColumn(
             "obj_value",
@@ -393,10 +409,13 @@ def build_kg(
     if salt_partitions:
         turns = salted_repartition(turns, salt_partitions)
 
-    canon = canonical_entity_map(aliases, small_dim_threshold)
+    # ONE threshold probe shared with canonical_entity_map — the two
+    # decisions are structurally the same evaluation, so they cannot
+    # disagree (and the duplicate limit+count job disappears)
     small = (
         aliases.limit(small_dim_threshold + 1).count() <= small_dim_threshold
     )
+    canon = canonical_entity_map(aliases, small_dim_threshold, small=small)
     best = best_alias_map(aliases)
     if small:
         canon_map = {r.entity_uri: r.canonical_id for r in canon.collect()}

@@ -93,11 +93,18 @@ def decode_image_features(
             if Image is None:  # executor env differs from driver
                 raise NotImplementedError("Pillow missing on executor")
 
-            def decode(b: bytes) -> list[float]:
-                # grayscale → resize to an n_dims strip == mean-pooled bins
-                img = Image.open(io.BytesIO(b)).convert("L")
-                strip = img.resize((n_dims, 1))
-                return [px / 255.0 for px in strip.getdata()]
+            def decode(b: bytes) -> list[float] | None:
+                # grayscale → resize to an n_dims strip == mean-pooled bins.
+                # Undecodable/empty payloads yield NULL features instead of
+                # failing the task: one corrupt image in a harvested corpus
+                # must not abort the whole decode job (the md5/byte-stats
+                # columns still identify the bad row for lineage).
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    strip = img.resize((n_dims, 1))
+                    return [px / 255.0 for px in strip.getdata()]
+                except Exception:
+                    return None
 
         for pdf in it:
             payloads = pdf["payload"]
@@ -162,13 +169,17 @@ def resize_media(
                 raise NotImplementedError("Pillow missing on executor")
             side = max(1, int(target_bytes**0.5))
 
-            def resample(b) -> str:
+            def resample(b) -> str | None:
                 b = bytes(b)
                 if not b:
                     return ""
-                img = Image.open(io.BytesIO(b)).convert("L")
-                small = img.resize((side, side), Image.BILINEAR)
-                return bytes(small.getdata()).hex()
+                # corrupt payload → NULL, not a task failure (see decode)
+                try:
+                    img = Image.open(io.BytesIO(b)).convert("L")
+                    small = img.resize((side, side), Image.BILINEAR)
+                    return bytes(small.getdata()).hex()
+                except Exception:
+                    return None
 
         for pdf in it:
             resized = pdf["payload"].map(resample)
@@ -177,8 +188,10 @@ def resize_media(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     # actual emitted byte count (== target for the fake
-                    # path, side² for the real path), not the requested one
-                    "n_bytes": (resized.str.len() // 2).astype("int64"),
+                    # path, side² for the real path), not the requested
+                    # one; nullable Int64 — a corrupt real-path payload
+                    # yields NULL resample and NULL count
+                    "n_bytes": (resized.str.len() // 2).astype("Int64"),
                     "resized_hex": resized,
                 }
             )

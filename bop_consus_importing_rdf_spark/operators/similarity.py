@@ -122,6 +122,14 @@ def ivf_topk(
     # through an exchange, the exact shape that dies at 10^11 vectors.
     # This collect is O(n_cells) — a dimension read, not a data read.
     cent_rows = v.orderBy("vec_id").limit(n_cells).collect()
+    if not cent_rows:
+        # empty corpus: no centroids → no candidates. Return the empty
+        # result explicitly — sequence(1, 0) below would step BACKWARDS to
+        # [1, 0] and element_at(…, 0) raises in every SQL mode.
+        return v.sparkSession.createDataFrame(
+            [],
+            "query_id long, vec_id long, cosine_sim double, rank int",
+        )
     cents_lit = F.array(
         *[
             F.array(*[F.lit(int(c)).cast("long") for c in r._v])
@@ -149,28 +157,44 @@ def ivf_topk(
 
     # argmin with ties → lowest cell id: cent_rows are sorted by vec_id, so
     # array index order IS cell-id order and array_position's first-match
-    # rule implements the tie-break exactly
-    assign_idx = F.array_position(dists("_v"), F.array_min(dists("_v")))
-    assign = v.withColumn(
-        "_cell", F.element_at(cell_ids_lit, assign_idx.cast("int"))
+    # rule implements the tie-break exactly. The distance array is projected
+    # into a NAMED column first: higher-order functions evaluate interpreted
+    # with no common-subexpression sharing, so referencing dists() twice
+    # (array_position + array_min) would compute the full n_cells × dim
+    # aggregate twice per corpus row — the dominant assignment cost.
+    assign = (
+        v.withColumn("_d", dists("_v"))
+        .withColumn(
+            "_cell",
+            F.element_at(
+                cell_ids_lit,
+                F.array_position(F.col("_d"), F.array_min("_d")).cast("int"),
+            ),
+        )
+        .drop("_d")
     )
     # probe sets: sort (distance, cell) structs — array_sort orders struct
-    # fields lexicographically, matching the (dist asc, cell asc) tie-break
+    # fields lexicographically, matching the (dist asc, cell asc) tie-break.
+    # Same named-column projection (_qd) so the per-element struct build
+    # indexes one precomputed array instead of re-deriving the whole
+    # distance array per element (O(n_cells²·dim) per query row otherwise).
     probe_structs = F.transform(
         F.sequence(F.lit(1), F.lit(len(cent_rows))),
         lambda i: F.struct(
-            F.element_at(dists("_qv"), i).alias("d"),
+            F.element_at(F.col("_qd"), i).alias("d"),
             F.element_at(cell_ids_lit, i).alias("cell"),
         ),
     )
     probes = F.broadcast(
-        q.select(
+        q.withColumn("_qd", dists("_qv"))
+        .select(
             "query_id",
             "_qv",
             F.explode(
                 F.slice(F.array_sort(probe_structs), 1, n_probe)
             ).alias("_pc"),
-        ).select("query_id", "_qv", F.col("_pc.cell").alias("_cell"))
+        )
+        .select("query_id", "_qv", F.col("_pc.cell").alias("_cell"))
     )
     cand = assign.join(probes, "_cell").select("query_id", "vec_id", "_v", "_qv")
     sim = idot(F.col("_v"), F.col("_qv")).cast("double") / F.sqrt(

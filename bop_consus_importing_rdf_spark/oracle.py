@@ -1145,7 +1145,9 @@ def _e2e_oracle_sql() -> str:
         {a for a, _, _ in alias_rows()}, key=lambda a: (-len(a), a)
     )
     mention_re = r"\b(" + "|".join(aliases) + r")\b"
-    tmpl = r"^(.*?) released (.*?) in (\d{4})"
+    # [^\n] spelling, not `.` — one meaning in every regex engine
+    # (kg/mentions.py::_RELATION_TMPL has the full rationale)
+    tmpl = r"^([^\n]*?) released ([^\n]*?) in (\d{4})"
     gyear = f"{XSD_NS}gYear"
     null = "CAST(NULL AS varchar)"
     return f"""

@@ -8,10 +8,12 @@ canonical flattened single-statement shape); full JSON-LD expansion with
 malformed bucket, loudly countable via ``keep_malformed``.
 
 Same architecture as the other parsers: JVM regexp structure parse +
-JVM-chain unescaping of the named JSON escapes; fields still carrying a
-``\\uXXXX`` escape cross Arrow through ``json.loads`` (which also handles
-surrogate pairs, something a ``chr()`` map cannot); raw-sentinel lines take
-the exact Python fallback.
+JVM-chain unescaping of the named JSON escapes. Lines carrying a raw
+sentinel byte, a ``\\uXXXX`` escape (``json.loads`` handles surrogate
+pairs, a ``chr()`` map cannot), or any OTHER non-named escape (strict
+JSON rejects ``\\x`` etc. — such lines are malformed and must land in
+the reject bucket, not crash or silently mis-decode) take the exact
+whole-line Python fallback, which catches decode errors per line.
 """
 
 from __future__ import annotations
@@ -65,8 +67,10 @@ def _parse_one_jsonld(line: str) -> tuple:
 
 
 def _unescape_json_col(col: Column) -> Column:
-    """Named JSON escapes in the JVM; ``\\u``-carrying values cross Arrow
-    through ``json.loads`` (exact, incl. surrogate pairs)."""
+    """Named JSON escapes, fully in the JVM. Exact BECAUSE the caller
+    routes every line carrying ``\\u`` or a non-named escape to the Python
+    fallback first — what reaches this chain holds only the seven named
+    escapes."""
     sent = "\x02"
     step1 = F.replace(col, F.lit("\\\\"), F.lit(sent))
     out = step1
@@ -75,18 +79,7 @@ def _unescape_json_col(col: Column) -> Column:
         ("b", "\b"), ("f", "\f"),
     ):
         out = F.replace(out, F.lit("\\" + raw), F.lit(esc))
-    jvm = F.replace(out, F.lit(sent), F.lit("\\"))
-
-    @F.pandas_udf("string")
-    def _loads(s: pd.Series) -> pd.Series:
-        mask = s.notna()
-        if mask.any():
-            s = s.copy()
-            s[mask] = s[mask].map(_json_unescape)
-        return s
-
-    has_u = step1.contains("\\u")
-    return F.coalesce(_loads(F.when(has_u, col)), jvm)
+    return F.replace(out, F.lit(sent), F.lit("\\"))
 
 
 def parse_jsonld(
@@ -110,7 +103,15 @@ def parse_jsonld(
 
     line = F.col(line_col)
     stripped = F.trim(line)
-    has_ctl = line.contains("\x01") | line.contains("\x02")
+    # exact-fallback routing: raw sentinel bytes (would corrupt the packed
+    # split / replace-chain), \uXXXX (needs json.loads, incl. surrogate
+    # pairs), and any non-named escape (\x, \q, … — invalid strict JSON,
+    # must land in the malformed bucket; json.loads inside the fallback
+    # raises per line and _parse_one_jsonld catches it)
+    has_ctl = (
+        line.contains("\x01") | line.contains("\x02")
+        | line.contains("\\u") | line.rlike(r'\\[^"\\/bfnrtu]')
+    )
     fb = _parse_fallback(F.when(has_ctl, line))
 
     sep = "\x01"

@@ -102,9 +102,16 @@ def extract_prefixes(lines: DataFrame, line_col: str = "value") -> dict[str, str
     """Collect ``@prefix``/``PREFIX`` directives into a label→namespace map.
 
     Driver-side over the directive subset only — a document declares a
-    handful of prefixes; this is dimension data, not triple data. Raises
-    on ``@base`` (resolving relative IRIs without it would be silent
-    corruption)."""
+    handful of prefixes; this is dimension data, not triple data.
+
+    LOUD failure policy (silent corruption is never acceptable for a
+    parser): raises on ``@base`` (relative IRIs cannot be resolved), on a
+    prefix label REDEFINED to a different namespace (this parser keeps one
+    file-global map, so honoring only the last binding would silently
+    rewrite earlier statements' IRIs), and on a directive-shaped line
+    neither directive regex actually parses (the statement filter drops
+    such lines from the stream, so without the raise they would vanish
+    from both the output and the malformed bucket)."""
     cand = (
         lines.filter(F.col(line_col).rlike(_DIRECTIVE_FILTER))
         .select(line_col)
@@ -119,8 +126,18 @@ def extract_prefixes(lines: DataFrame, line_col: str = "value") -> dict[str, str
                 f"cannot be resolved ({text.strip()!r})"
             )
         m = _PREFIX_DIRECTIVE.match(text)
-        if m:
-            prefixes[m.group(1)] = m.group(2)
+        if not m:
+            raise ValueError(
+                f"unparseable Turtle directive: {text.strip()!r}"
+            )
+        label, ns = m.group(1), m.group(2)
+        if label in prefixes and prefixes[label] != ns:
+            raise ValueError(
+                f"prefix '{label}:' redefined from <{prefixes[label]}> to "
+                f"<{ns}> — scoped prefix maps are not supported; split the "
+                "input per scope"
+            )
+        prefixes[label] = ns
     return prefixes
 
 
@@ -391,9 +408,20 @@ def parse_trig(
     standard TriG: graph headers and ``}`` on their own lines, one
     statement per line inside). Lines explode narrowly per document; the
     graph context is the last seen header (a window per document — TriG
-    documents are bounded, the corpus parallelism is across documents)."""
+    documents are bounded, the corpus parallelism is across documents).
+
+    ``prefixes=None`` extracts the ``@prefix`` directive map from the
+    documents themselves (same contract as :func:`parse_turtle` — a
+    standard TriG dump declares prefixed names, and parsing it with an
+    empty map would reject every statement as undeclared-prefix
+    malformed)."""
     if prefixes is None:
-        prefixes = {}
+        prefixes = extract_prefixes(
+            docs.select(
+                F.explode(F.split(F.col(trig_col), "\n")).alias("value")
+            ),
+            "value",
+        )
     from pyspark.sql import Window
 
     # partition the line-context window by the carried doc key when there is

@@ -35,6 +35,14 @@ def test_jvm_extraction_matches_arrow_reference(spark):
             ("x", 10, "user", "Acme  released The Falcon in 2001", None, None),
             # non-ASCII year digits rejected by both (Java-\d semantics)
             ("x", 11, "user", "Acme released The Falcon in ٢٠٢٠", None, None),
+            # line-terminator padding: Java's `.` excludes \r \u0085 \u2028
+            # but the template is spelled [^\n] so BOTH engines match and
+            # the WS-class strip removes the padding identically
+            ("x", 12, "user", "\rAcme released The Falcon in 2001", None, None),
+            ("x", 13, "user", "\u2028Acme released The Falcon in 2001", None, None),
+            # a real newline before the template anchors ^ away -> no match
+            # in either engine (non-multiline ^)
+            ("x", 14, "user", "pad\nAcme released The Falcon in 2001", None, None),
         ],
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
@@ -71,3 +79,6 @@ def test_jvm_extraction_matches_arrow_reference(spark):
     assert got[9][1] is None   # \x01 inside a group → no relation
     assert got[10][1] == "Acme"  # NBSP padding stripped in both engines
     assert got[11][1] is None  # non-ASCII digits are not a year
+    assert got[12][1] == "Acme"  # \r padding matches + strips in both
+    assert got[13][1] == "Acme"  # U+2028 padding matches + strips in both
+    assert got[14][1] is None  # newline re-anchors ^ → no match in either

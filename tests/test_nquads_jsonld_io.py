@@ -105,3 +105,24 @@ def test_jsonld_malformed_bucket(spark):
     kept = parse_jsonld(lines, keep_malformed=True)
     assert kept.filter(F.col("obj_kind").isNull()).count() == 1
     assert parse_jsonld(lines).count() == 1
+
+
+def test_jsonld_invalid_escapes_land_malformed_not_crash(spark):
+    """Structurally-matching lines with invalid JSON escapes must land in
+    the malformed bucket — strict json.loads rejects them — not crash the
+    job (the old field-level UDF raised) and not silently mis-decode."""
+    lines = spark.createDataFrame(
+        [
+            ('{"@id":"a\\uZZZZ","p":[{"@id":"b"}]}',),   # bad \\u escape
+            ('{"@id":"a\\x41","p":[{"@id":"b"}]}',),     # \\x not valid JSON
+            ('{"@id":"\\u0041","p":[{"@id":"b"}]}',),    # valid \\u → 'A'
+        ],
+        "value string",
+    )
+    kept = parse_jsonld(lines, keep_malformed=True).collect()
+    by_kind = {}
+    for r in kept:
+        by_kind.setdefault(r.obj_kind, []).append(r)
+    assert len(by_kind.get(None, [])) == 2
+    good = by_kind["iri"]
+    assert len(good) == 1 and good[0].subj == "A"

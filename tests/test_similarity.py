@@ -71,3 +71,15 @@ def test_ann_never_scores_worse_candidates_higher(spark, vectors, queries):
             for r in ann.filter(F.col("query_id") == q).orderBy("rank").collect()
         ]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    """An upstream filter producing zero vectors must yield an empty
+    result, not an element_at(…, 0) crash from sequence(1, 0)."""
+    from bop_consus_importing_rdf_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(1, [0.1] * 4)], "query_id long, embedding array<float>"
+    )
+    assert ivf_topk(empty, q, k=3, n_cells=4, n_probe=2).count() == 0

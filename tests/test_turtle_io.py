@@ -150,3 +150,45 @@ def test_trig_parse_roundtrip(spark):
     # graph column carries the per-document graph IRI
     graphs = {r.graph for r in parsed.select("graph").distinct().collect()}
     assert graphs == {"urn:graph:d1", "urn:graph:d2"}
+
+
+def test_trig_auto_extracts_prefixes(spark):
+    """A standard TriG dump with @prefix directives and prefixed names
+    parses with prefixes=None — the harvest.py path for .trig files."""
+    from bop_consus_importing_rdf_spark.sources.turtle_io import parse_trig
+
+    doc = "\n".join([
+        "@prefix ex: <urn:ex:> .",
+        "<urn:g1> {",
+        "ex:s ex:p ex:o .",
+        "}",
+    ])
+    docs = spark.createDataFrame([(doc,)], "trig string")
+    got = parse_trig(docs).collect()
+    assert len(got) == 1
+    assert (got[0].graph, got[0].subj, got[0].obj_value) == (
+        "urn:g1", "urn:ex:s", "urn:ex:o"
+    )
+
+
+def test_prefix_redefinition_and_bad_directive_raise(spark):
+    """Loud-failure policy: a prefix rebound to a different namespace or an
+    unparseable directive-shaped line raises instead of silently corrupting
+    IRIs / vanishing from the malformed bucket."""
+    redef = spark.createDataFrame(
+        [("@prefix ex: <urn:one:> .",), ("@prefix ex: <urn:two:> .",)],
+        "value string",
+    )
+    with pytest.raises(ValueError, match="redefined"):
+        extract_prefixes(redef)
+    # same binding twice is fine
+    dup = spark.createDataFrame(
+        [("@prefix ex: <urn:one:> .",), ("@prefix ex: <urn:one:> .",)],
+        "value string",
+    )
+    assert extract_prefixes(dup) == {"ex": "urn:one:"}
+    bad = spark.createDataFrame(
+        [("@prefix ex missing-brackets .",)], "value string"
+    )
+    with pytest.raises(ValueError, match="unparseable"):
+        extract_prefixes(bad)
