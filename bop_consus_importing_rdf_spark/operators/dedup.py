@@ -38,7 +38,7 @@ def char_shingles(
     """Distinct lowercase character n-grams per document: ``(id, shingle)``."""
     from .parallelism import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
+    df = ensure_min_parallelism(df, multiplier=200)
     norm = F.lower(F.col(text_col))
     positions = F.sequence(
         F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))
@@ -68,7 +68,7 @@ def word_ngrams(
     """
     from .parallelism import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
+    df = ensure_min_parallelism(df, multiplier=200)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     t = F.col("_toks")
     grams = F.transform(
@@ -115,7 +115,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature and self-join on band key → candidate ``(id_a, id_b)``.
 
@@ -123,15 +123,20 @@ def lsh_candidate_pairs(
     ``(band_idx, band_key)`` — uniformly distributed, shuffle-friendly.
 
     ``max_bucket`` caps the bucket size of the self-join: buckets larger
-    than it are SKIPPED. A band bucket of size B contributes B²/2 candidate
-    pairs, so one boilerplate-driven hot bucket (shared template tokens
-    inflating n-gram overlap — a real failure mode: the sf1 scale probe
-    measured 13.3M candidates from 50k docs, of which 2,556 were true
-    pairs, 57× wall-clock) turns the linear LSH plan quadratic. Giant
-    buckets carry almost no signal — past ~theta*k agreement the docs pair
-    in multiple bands anyway, and a 4096+ bucket at a sane banding config
-    is evidence of degenerate shingles, not near-duplicates. The DuckDB
-    oracle twins apply the identical cap. Pass ``None`` to disable.
+    than it are SKIPPED — a deliberate recall trade, so the default here is
+    ``None``: this is the exhaustive pair-LISTING API, and silently
+    dropping a pair whose only collision falls in a hot bucket would
+    violate its contract (ADVICE r3). The clustering paths
+    (:func:`lsh_candidate_star_pairs`, :func:`minhash_dedup`) keep the cap
+    on by default, where connectivity — not pair completeness — is the
+    contract. Rationale for capping there: a band bucket of size B
+    contributes B²/2 candidate pairs, so one boilerplate-driven hot bucket
+    (shared template tokens inflating n-gram overlap — a real failure mode:
+    the sf1 scale probe measured 13.3M candidates from 50k docs, of which
+    2,556 were true pairs, 57× wall-clock) turns the linear LSH plan
+    quadratic, and a 4096+ bucket at a sane banding config is evidence of
+    degenerate shingles, not near-duplicates. When a caller does pass a
+    cap here, the DuckDB oracle twins apply the identical cap.
     """
     band_structs = []
     for b in range(bands):
@@ -300,7 +305,7 @@ def simhash32(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from .parallelism import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
+    df = ensure_min_parallelism(df, multiplier=200)
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -383,7 +388,7 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from .parallelism import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
+    df = ensure_min_parallelism(df, multiplier=200)
     toks = (
         df.select(
             F.col(id_col).alias("id"),

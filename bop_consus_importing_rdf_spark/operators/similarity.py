@@ -55,7 +55,7 @@ def cosine_topk(
     """
     from .parallelism import ensure_min_parallelism
 
-    vectors = ensure_min_parallelism(vectors)
+    vectors = ensure_min_parallelism(vectors, multiplier=1)
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -108,7 +108,7 @@ def ivf_topk(
     """
     from .parallelism import ensure_min_parallelism
 
-    vectors = ensure_min_parallelism(vectors)
+    vectors = ensure_min_parallelism(vectors, multiplier=n_cells)
     quant = F.transform(
         F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
     )
@@ -302,7 +302,7 @@ def rhp_ann_topk(
     """
     from .parallelism import ensure_min_parallelism
 
-    vectors = ensure_min_parallelism(vectors)
+    vectors = ensure_min_parallelism(vectors, multiplier=n_planes)
     planes = rademacher_planes(n_planes, dim, seed)
     if quantized:
         quant = F.transform(

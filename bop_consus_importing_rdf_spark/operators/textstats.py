@@ -119,7 +119,7 @@ def fingerprints(
     """
     from .parallelism import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
+    df = ensure_min_parallelism(df, multiplier=200)
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
     grams = df.select(

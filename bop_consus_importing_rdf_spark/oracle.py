@@ -690,7 +690,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = word_ngrams(docs, "doc_id", "text", 3)
     sig = minhash_signature(sh, k=6)
-    cand = lsh_candidate_pairs(sig, bands=3, rows_per_band=2)
+    # explicit cap, mirrored by the oracle SQL's `bok` CTE (the listing
+    # API itself defaults to uncapped — ADVICE r3)
+    cand = lsh_candidate_pairs(sig, bands=3, rows_per_band=2, max_bucket=4096)
     return jaccard_pairs(cand, sh, threshold=0.5)
 
 

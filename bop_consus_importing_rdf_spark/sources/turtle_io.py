@@ -414,7 +414,15 @@ def parse_trig(
     documents themselves (same contract as :func:`parse_turtle` — a
     standard TriG dump declares prefixed names, and parsing it with an
     empty map would reject every statement as undeclared-prefix
-    malformed)."""
+    malformed).
+
+    The line-context window is partitioned by an INTERNAL per-document key
+    (``monotonically_increasing_id`` stamped before the explode) — never by
+    the document bytes (document-sized shuffle keys) and never by
+    ``carry_cols`` (whose uniqueness the caller couldn't be trusted to
+    guarantee: with a shared key, ``_pos`` ties across documents and the
+    default RANGE frame would leak graph headers between documents).
+    ``carry_cols`` are pass-through annotation columns only."""
     if prefixes is None:
         prefixes = extract_prefixes(
             docs.select(
@@ -424,16 +432,13 @@ def parse_trig(
         )
     from pyspark.sql import Window
 
-    # partition the line-context window by the carried doc key when there is
-    # one (partitioning by the full TriG string would ship document bytes
-    # into the shuffle key)
-    part_keys = list(carry_cols) if carry_cols else [trig_col]
-    w = Window.partitionBy(*part_keys).orderBy("_pos")
+    docs = docs.withColumn("_doc", F.monotonically_increasing_id())
+    w = Window.partitionBy("_doc").orderBy("_pos")
     header = F.regexp_extract(F.col("_line"), r"^\s*<([^>]*)>\s*\{\s*$", 1)
     exploded = (
         docs.select(
             *carry_cols,
-            F.col(trig_col),
+            "_doc",
             F.posexplode(F.split(F.col(trig_col), "\n")).alias(
                 "_pos", "_line"
             ),
@@ -450,14 +455,40 @@ def parse_trig(
             & ~F.trim("_line").rlike(_DIRECTIVE_FILTER)
         )
     )
-    cols = ttl_statement_columns(F.col("_line"), prefixes)
+    # Sentinel-byte fallback, same routing as parse_turtle: the JVM
+    # replace-chain in ttl_statement_columns uses \x01/\x02 internally, so
+    # a literal carrying either raw byte (legal inside Turtle quoted
+    # strings) must take the exact-Python path instead of silently
+    # corrupting (\x02 → '\\') or landing in the malformed bucket (\x01).
+    line = F.col("_line")
+    has_ctl = line.contains("\x01") | line.contains("\x02")
+
+    @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
+    def _parse_fallback(s: pd.Series) -> pd.DataFrame:
+        names = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
+                 "obj_datatype"]
+        mask = s.notna()
+        out = pd.DataFrame(None, index=s.index, columns=names, dtype=object)
+        if mask.any():
+            out.loc[mask] = pd.DataFrame(
+                [_parse_one_ttl(x, prefixes) for x in s[mask]],
+                columns=names,
+                index=s.index[mask],
+            )
+        return out
+
+    fb = _parse_fallback(F.when(has_ctl, line))
+    cols = ttl_statement_columns(line, prefixes)
     parsed = exploded.select(
         *carry_cols,
         "graph",
-        *[cols[c].alias(c) for c in (
-            "subj", "pred", "obj_value", "obj_kind", "obj_lang",
-            "obj_datatype",
-        )],
+        *[
+            F.when(has_ctl, fb[c]).otherwise(cols[c]).alias(c)
+            for c in (
+                "subj", "pred", "obj_value", "obj_kind", "obj_lang",
+                "obj_datatype",
+            )
+        ],
     )
     if keep_malformed:
         return parsed

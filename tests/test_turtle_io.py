@@ -192,3 +192,32 @@ def test_prefix_redefinition_and_bad_directive_raise(spark):
     )
     with pytest.raises(ValueError, match="unparseable"):
         extract_prefixes(bad)
+
+
+def test_trig_sentinel_bytes_take_fallback(spark):
+    # ADVICE r3 (medium): \x02 in a TriG literal used to silently parse as
+    # a backslash (the JVM replace-chain's sentinel), and \x01 landed the
+    # statement in the malformed bucket. Both must round-trip exactly.
+    doc = '<urn:g> {\n<urn:a> <urn:p> "a\x02c" .\n<urn:a> <urn:q> "x\x01y" .\n}'
+    docs = spark.createDataFrame([(doc,)], "trig string")
+    got = {
+        (r.graph, r.pred): r.obj_value
+        for r in parse_trig(docs, prefixes={}).collect()
+    }
+    assert got == {
+        ("urn:g", "urn:p"): "a\x02c",
+        ("urn:g", "urn:q"): "x\x01y",
+    }
+
+
+def test_trig_duplicate_docs_keep_separate_graph_context(spark):
+    # the window partition key is an internal per-document id, so
+    # byte-identical documents (and non-unique carry_cols) can never share
+    # a window partition or leak graph headers across documents
+    doc = "<urn:g1> {\n<urn:a> <urn:p> <urn:o> .\n}"
+    docs = spark.createDataFrame(
+        [("k", doc), ("k", doc)], "doc_id string, trig string"
+    )
+    rows = parse_trig(docs, prefixes={}, carry_cols=("doc_id",)).collect()
+    assert len(rows) == 2
+    assert all(r.graph == "urn:g1" and r.subj == "urn:a" for r in rows)
