@@ -24,16 +24,24 @@ def write_bucketed(
     bucket_col: str = "subj",
     n_buckets: int = 64,
     sort_col: str | None = None,
+    path: str | None = None,
 ) -> None:
     """Write ``df`` as a bucketed (+ optionally sorted) table.
 
     ``n_buckets`` sizes the physical parallelism of every future bucketed
     join — pick it for the target cluster, not the current job (buckets
     are cheap to over-provision, expensive to rewrite).
+
+    ``path`` makes it an EXTERNAL table at that location (the bucket spec
+    lives in the catalog either way — a bare ``.parquet(path)`` write
+    would silently drop it); default is a managed table under the
+    warehouse dir.
     """
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 

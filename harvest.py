@@ -135,9 +135,25 @@ def run_harvest(
     remove_prefix: bool = False,
     precedence_uri_ref: bool = False,
     keep_malformed: bool = False,
+    bucket_threshold_bytes: int | None = 256 << 20,
+    n_buckets: int = 64,
 ) -> dict:
     """The full harvest DAG; returns summary counts (also printed by the
-    CLI). Separated from ``main`` so tests drive it in-process."""
+    CLI). Separated from ``main`` so tests drive it in-process.
+
+    **Production triple layout** (the 100-TB split path): when the source
+    is at least ``bucket_threshold_bytes``, the parse output is LANDED as
+    a bucketed-by-``subj`` external table at ``{output}/triples`` instead
+    of an executor-memory cache. Every downstream subj-keyed consumer —
+    the closure's edge probes and the subgraph extraction join
+    (``operators/split.py``), plus any later re-harvest reading the
+    committed artifact — then scans pre-hashed buckets, so once the
+    closure side is past the broadcast threshold the statement table is
+    never exchanged (plan-asserted by ``test_bucketed.py``). The table
+    doubles as the parse stage's durable checkpoint: a resumed run can
+    skip the parse entirely. Below the threshold the in-memory cache is
+    strictly cheaper (no write amplification for a catalogue that fits in
+    one executor's memory); ``None`` disables the bucketed branch."""
     from pyspark.sql import functions as F
 
     from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
@@ -146,19 +162,35 @@ def run_harvest(
         manifest,
         with_counter,
     )
+    from bop_consus_importing_rdf_spark.operators.parallelism import (
+        plan_size_bytes,
+    )
     from bop_consus_importing_rdf_spark.operators.split import split_datasets
     from bop_consus_importing_rdf_spark.plans.lineage import (
         stage_metrics,
         union_metrics,
     )
+    from bop_consus_importing_rdf_spark.sources.bucketed import write_bucketed
 
     if fmt == "auto":
         fmt = detect_format(input_path)
     run_id = uuid.uuid4().hex[:12]
 
-    parsed = load_triples(
-        spark, input_path, fmt, pre, keep_malformed=True
-    ).cache()
+    parsed = load_triples(spark, input_path, fmt, pre, keep_malformed=True)
+    src_bytes = plan_size_bytes(parsed)
+    if (
+        bucket_threshold_bytes is not None
+        and src_bytes != (1 << 63) - 1
+        and src_bytes >= bucket_threshold_bytes
+    ):
+        table = f"harvest_triples_{run_id}"
+        write_bucketed(
+            parsed, table, bucket_col="subj", n_buckets=n_buckets,
+            path=f"{output}/triples",
+        )
+        parsed = spark.table(table)
+    else:
+        parsed = parsed.cache()
     n_rejects = parsed.filter(F.col("obj_kind").isNull()).count()
     if n_rejects and not keep_malformed:
         # reference behavior: a parse error fails the pipe with context
@@ -226,6 +258,13 @@ def main() -> None:
     ap.add_argument("--precedence-uri-ref", action="store_true")
     ap.add_argument("--keep-malformed", action="store_true",
                     help="keep reject rows in metrics instead of failing")
+    ap.add_argument("--bucket-threshold-mb", type=int, default=256,
+                    help="land the parsed triples as a bucketed-by-subj "
+                         "table at OUTPUT/triples when the source is at "
+                         "least this big (0 = always, -1 = never)")
+    ap.add_argument("--n-buckets", type=int, default=64,
+                    help="bucket count for the landed triple table — size "
+                         "for the target cluster, not this job")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -240,10 +279,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     t0 = time.perf_counter()
+    thresh = {0: 0, -1: None}.get(
+        args.bucket_threshold_mb, args.bucket_threshold_mb * (1 << 20)
+    )
     summary = run_harvest(
         spark, args.input, args.output, args.catalogue, args.format,
         args.pre_process, args.remove_prefix, args.precedence_uri_ref,
         args.keep_malformed,
+        bucket_threshold_bytes=thresh, n_buckets=args.n_buckets,
     )
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     print(summary)

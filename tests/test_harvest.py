@@ -123,3 +123,42 @@ def test_harvest_ttl_matches_nt(spark, tmp_path, graph):
     assert summary["n_statements"] == graph.count()
     assert summary["n_datasets"] == exp_datasets
     assert summary["n_dataset_statements"] == exp_stmts
+
+
+def test_harvest_bucketed_triple_landing(spark, tmp_path, graph):
+    """Forcing the bucketed branch (threshold 0) lands the parse output as
+    a bucketed-by-subj external table at OUTPUT/triples and produces the
+    same split results as the in-memory-cache branch."""
+    from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+
+    lines = graph.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    ).collect()
+    src = tmp_path / "dump.nt"
+    src.write_text("".join(r.line + "\n" for r in lines), encoding="utf-8")
+
+    out = str(tmp_path / "out_bucketed")
+    summary = run_harvest(
+        spark, str(src), out, catalogue="cat-a",
+        bucket_threshold_bytes=0, n_buckets=8,
+    )
+    exp_stmts, exp_datasets = _expected(spark, graph)
+    assert summary["n_rejects"] == 0
+    assert summary["n_statements"] == graph.count()
+    assert summary["n_datasets"] == exp_datasets
+    assert summary["n_dataset_statements"] == exp_stmts
+
+    # the landed table is real, external at OUTPUT/triples, and bucketed
+    table = f"harvest_triples_{summary['run_id']}"
+    assert spark.table(table).count() == graph.count()
+    assert any(Path(out, "triples").glob("*.parquet"))
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    assert desc.get("Num Buckets") == "8"
+    assert "subj" in desc.get("Bucket Columns", "")
+    spark.sql(f"DROP TABLE {table}")
