@@ -106,6 +106,24 @@ _NT_PATTERN = (
     r"\s*\.\s*$"
 )
 
+# 7-group packed spelling: the object alternation captures each variant in
+# its OWN group (3 = bracketed IRI, 4 = bnode, 5 = quoted literal incl.
+# quotes, 6 = lang, 7 = datatype IRI body). Java substitutes "" for a
+# non-participating group in the replacement, so ONE regexp_replace pass
+# yields every field and the clean branch needs NO further regex at all —
+# the object kind falls out of which group is non-empty (groups 3 and 5
+# keep their delimiters, so an empty-IRI/empty-literal object still
+# registers as non-empty). This is NOT the round-3 6-group dead end: that
+# pattern carried the full object AND the literal body (packed string ~2×
+# the line); here each byte of the line lands in at most one group.
+_NT_PACKED_PATTERN = (
+    r"^\s*(<[^>]*>|_:\S+)\s+"
+    r"<([^>]*)>\s+"
+    r'(?:(<[^>]*>)|(_:\S+)|("(?:[^"\\]|\\.)*")'
+    r"(?:@([A-Za-z][A-Za-z0-9-]*)|\^\^<([^>]*)>)?)"
+    r"\s*\.\s*$"
+)
+
 
 def parse_ntriples(
     lines: DataFrame,
@@ -174,28 +192,37 @@ def parse_ntriples(
     nd_guard = F.rand(7) > F.lit(-1.0)
     carry = [F.col(c) for c in carry_cols]
 
-    # ONE regex pass over the line: pack the three groups with a \x01
-    # separator, then split — measured 4× cheaper than three independent
-    # regexp_extract calls (each re-runs the full-line match). Sentinel
-    # collisions were routed to the assist branch, so arity-3 here really
-    # does mean "matched".
+    # ONE regex pass over the line: pack ALL SEVEN groups with a \x01
+    # separator, then split — the round-2 3-group pack measured 4× cheaper
+    # than three independent regexp_extract calls, but still re-ran three
+    # anchored extracts on the object for body/lang/datatype; this 7-group
+    # pack (see _NT_PACKED_PATTERN) leaves ZERO regex work after the one
+    # pass — object kind and every sub-field come from emptiness probes +
+    # substring. Sentinel collisions were routed to the assist branch, so
+    # arity-7 here really does mean "matched".
     sep = "\x01"
-    packed = F.regexp_replace(line, _NT_PATTERN, f"$1{sep}$2{sep}$3")
-    parts = F.split(packed, sep)
-    matched = F.size(parts) == 3
+    packed = F.regexp_replace(
+        line, _NT_PACKED_PATTERN, sep.join(f"${i}" for i in range(1, 8))
+    )
+    parts = F.split(packed, sep, -1)
+    matched = F.size(parts) == 7
     # F.get (NULL on out-of-bounds), NOT parts[i]: ANSI mode raises on OOB
     subj_raw = F.get(parts, 0)
     pred_raw = F.get(parts, 1)
-    obj_raw = F.get(parts, 2)
+    iri_raw = F.get(parts, 2)   # bracketed IRI object, "" if not an IRI
+    bnode_raw = F.get(parts, 3)
+    lit_raw = F.get(parts, 4)   # quoted literal incl. quotes, "" if none
+    lang_raw = F.get(parts, 5)
+    dt_raw = F.get(parts, 6)
 
     subj = F.when(
         subj_raw.startswith("<"),
         F.substring(subj_raw, F.lit(2), F.length(subj_raw) - 2),
     ).otherwise(subj_raw)
 
-    is_iri = obj_raw.startswith("<")
-    is_bnode = obj_raw.startswith("_:")
-    body_raw = F.regexp_extract(obj_raw, r'^"((?:[^"\\]|\\.)*)"', 1)
+    is_iri = iri_raw != ""
+    is_bnode = bnode_raw != ""
+    body_raw = F.substring(lit_raw, F.lit(2), F.length(lit_raw) - 2)
     # ECHAR unescaping in SQL: neutralize escaped backslashes with a \x02
     # sentinel FIRST (replace-chain ordering bug otherwise: the '\' of an
     # unescaped '\\' would fuse with a following 'n'), then the four
@@ -207,19 +234,17 @@ def parse_ntriples(
     for raw, esc in (("n", "\n"), ("r", "\r"), ("t", "\t"), ('"', '"')):
         echar = F.replace(echar, F.lit("\\" + raw), F.lit(esc))
     body = F.replace(echar, F.lit(sent), F.lit("\\"))
-    lang = F.nullif(
-        F.regexp_extract(obj_raw, r"@([A-Za-z][A-Za-z0-9-]*)$", 1), F.lit("")
-    )
-    dt = F.nullif(F.regexp_extract(obj_raw, r"\^\^<([^>]*)>$", 1), F.lit(""))
+    lang = F.nullif(lang_raw, F.lit(""))
+    dt = F.nullif(dt_raw, F.lit(""))
 
-    iri_value = F.substring(obj_raw, F.lit(2), F.length(obj_raw) - 2)
+    iri_value = F.substring(iri_raw, F.lit(2), F.length(iri_raw) - 2)
     clean = base.filter(~needs_py & nd_guard).select(
         *carry,
         F.when(matched, subj).alias("subj"),
         F.when(matched, pred_raw).alias("pred"),
         F.when(~matched, line)
         .when(is_iri, iri_value)
-        .when(is_bnode, obj_raw)
+        .when(is_bnode, bnode_raw)
         .otherwise(body)
         .alias("obj_value"),
         F.when(matched & is_iri, "iri")
