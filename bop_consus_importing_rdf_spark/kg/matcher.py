@@ -1,0 +1,146 @@
+"""Join-based at-scale mention matcher (north-rule extraction stage).
+
+``kg/mentions.py`` matches the gazetteer with ONE literal trie-factored
+regex — the right physical strategy while the alias dictionary is
+broadcast-scale, and fundamentally driver-bound: the pattern is a literal,
+so the dictionary must be collected. A mined 10^8-alias dictionary has no
+path through it. This module is the swap-in the verdict asked for: the
+dictionary stays a DataFrame end to end.
+
+Shape (tokenize + bucket join + per-turn verification):
+
+1. **Tokenize** each turn into its maximal word-character runs (the same
+   ``(?U)`` word class the regex matcher's ``\\b`` uses, so a candidate
+   is generated exactly where a regex match could start).
+2. **Join** turn tokens against the alias dictionary's FIRST tokens — the
+   one shuffle of the matcher, on a uniform token key; AQE broadcasts the
+   dictionary side while it is small and skew-splits hot tokens when it
+   is not. Recall is exact: a regex match always starts at a token start,
+   and the matched text's first token equals the alias's first token
+   (both are maximal word runs bounded by the same class).
+3. **Verify + longest-match-select** per turn: the candidate aliases
+   (a per-turn handful) are sorted longest-first and compiled into a
+   per-row alternation ``(?U)\\b(\\Qa1\\E|\\Qa2\\E|…)\\b`` evaluated with
+   ``regexp_extract_all`` — the IDENTICAL left-to-right greedy scan the
+   full-gazetteer pattern performs, restricted to a superset of the
+   aliases that can match, which provably yields the identical match
+   sequence. JVM-side, no Python workers.
+
+Relation-template groups come from
+``mentions.extract_relation_candidates`` (the template is fixed-size —
+regex stays); gazetteer MEMBERSHIP of the groups is validated by joining
+against the dictionary instead of an ``array_contains`` literal.
+
+``best_alias_entities`` is the distributed twin of
+``pipeline.best_alias_map`` (argmax prior, min-URI tie-break) — a struct
+min-aggregate, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_WORD_SPLIT = r"(?U)\W+"
+
+def alias_match_table(aliases: DataFrame, validate: bool = True) -> DataFrame:
+    """``(first_token, alias)`` distinct — the dictionary side of the
+    candidate join.
+
+    ``validate=True`` runs one scan-shaped guard job over the dictionary
+    and raises on aliases the matcher cannot handle faithfully (loud, not
+    silent): an alias that does not START with a word character (its regex
+    ``\\b`` behavior depends on surrounding text, and token-join candidate
+    generation would miss it) or an alias containing the literal ``\\E``
+    quoting terminator."""
+    first_tok = F.get(F.split(F.col("alias"), _WORD_SPLIT), 0)
+    t = aliases.select(F.col("alias")).distinct().select(
+        first_tok.alias("first_token"), "alias"
+    )
+    if validate:
+        bad = t.filter(
+            F.col("first_token").isNull()
+            | (F.col("first_token") == "")
+            | F.col("alias").contains("\\E")
+        )
+        sample = [r.alias for r in bad.limit(3).collect()]
+        if sample:
+            raise ValueError(
+                "aliases unsupported by the join matcher (must start with "
+                f"a word character, must not contain '\\E'): {sample!r}"
+            )
+    return t
+
+
+def best_alias_entities(aliases: DataFrame) -> DataFrame:
+    """``(alias, entity_uri)`` — argmax-prior per alias, min-URI tie-break.
+
+    Distributed twin of ``pipeline.best_alias_map`` (which collects the
+    dictionary): a struct-min aggregate over ``(-prior, entity_uri)``
+    reproduces the same ``min((-prior, uri))`` ordering exactly."""
+    return (
+        aliases.groupBy("alias")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("prior")).alias("_np"),
+                    F.col("entity_uri").alias("_e"),
+                )
+            ).alias("_b")
+        )
+        .select("alias", F.col("_b._e").alias("entity_uri"))
+    )
+
+
+def turn_candidate_aliases(
+    turns: DataFrame, match_table: DataFrame
+) -> DataFrame:
+    """``(conv_id, turn_idx, cand_aliases)`` for turns with ≥1 candidate.
+
+    Tokens are DISTINCT per turn before the join (a hot word repeated in
+    one turn joins once), and the output aggregates back to one row per
+    turn — the exploded token stream never leaves this function."""
+    toks = turns.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array_distinct(F.split(F.coalesce("text", F.lit("")), _WORD_SPLIT))
+        ).alias("first_token"),
+    ).filter(F.col("first_token") != "")
+    return (
+        toks.join(match_table, "first_token")
+        .groupBy("conv_id", "turn_idx")
+        .agg(F.collect_set("alias").alias("cand_aliases"))
+    )
+
+
+def mentions_from_candidates(text, cand_aliases) -> F.Column:
+    """``array<string>`` of matched aliases in scan order, given the
+    per-turn candidate alias array — NULL-candidate rows yield an empty
+    array without ever compiling an empty alternation (which would match
+    the empty string at every boundary)."""
+    def _len_desc(l, r):  # noqa: E741 — l/r mirror the SQL comparator
+        return (
+            F.when(F.length(l) > F.length(r), F.lit(-1))
+            .when(F.length(l) < F.length(r), F.lit(1))
+            .when(l < r, F.lit(-1))
+            .when(l > r, F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    sorted_cands = F.array_sort(cand_aliases, _len_desc)
+    pattern = F.concat(
+        F.lit(r"(?U)\b("),
+        F.concat_ws(
+            "|",
+            F.transform(
+                sorted_cands, lambda a: F.concat(F.lit(r"\Q"), a, F.lit(r"\E"))
+            ),
+        ),
+        F.lit(r")\b"),
+    )
+    empty = F.array().cast("array<string>")
+    return F.when(
+        cand_aliases.isNotNull() & (F.size(cand_aliases) > 0),
+        F.regexp_extract_all(F.coalesce(text, F.lit("")), pattern, 1),
+    ).otherwise(empty)

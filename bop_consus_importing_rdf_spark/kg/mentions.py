@@ -97,13 +97,14 @@ def detect_mentions(text: Column, aliases: list[str]) -> Column:
     return F.regexp_extract_all(filled, F.lit(alias_pattern(aliases)), 1)
 
 
-def extract_relations(text: Column, aliases: list[str]) -> Column:
-    """Template relation extraction: ``<A> released <B> in <year>``.
-
-    Returns ``struct<subj_alias, obj_alias, year>`` (nulls when the text
-    does not instantiate the template or A/B are not gazetteer aliases).
-    Pure column expressions; the gazetteer membership test is an
-    ``array_contains`` over a constant-folded literal array.
+def extract_relation_candidates(text: Column) -> Column:
+    """Template group extraction WITHOUT the gazetteer-membership gate:
+    ``struct<subj_alias, obj_alias, year>`` with nulls when the text does
+    not instantiate the ``<A> released <B> in <year>`` template (year
+    checked; A/B are raw stripped groups). :func:`extract_relations` adds
+    the membership test against a literal alias array; the join-based
+    at-scale matcher (``kg/matcher.py``) validates membership with a join
+    against the alias table instead — same split as mention detection.
     """
     def strip(c: Column) -> Column:
         # explicit Unicode-whitespace class — identical set in both engines
@@ -134,16 +135,33 @@ def extract_relations(text: Column, aliases: list[str]) -> Column:
     g1 = F.when(matched, strip(F.get(parts, 0))).otherwise(F.lit(""))
     g2 = F.when(matched, strip(F.get(parts, 1))).otherwise(F.lit(""))
     g3 = F.when(matched, F.get(parts, 2)).otherwise(F.lit(""))
-    valid = F.array(*[F.lit(a) for a in sorted(aliases)])
-    ok = (
-        g3.rlike(r"^\d{4}$")  # belt-and-braces year invariant
-        & F.array_contains(valid, g1)
-        & F.array_contains(valid, g2)
-    )
+    ok = g3.rlike(r"^\d{4}$")  # belt-and-braces year invariant
     return F.struct(
         F.when(ok, g1).alias("subj_alias"),
         F.when(ok, g2).alias("obj_alias"),
         F.when(ok, g3).alias("year"),
+    )
+
+
+def extract_relations(text: Column, aliases: list[str]) -> Column:
+    """Template relation extraction: ``<A> released <B> in <year>``.
+
+    Returns ``struct<subj_alias, obj_alias, year>`` (nulls when the text
+    does not instantiate the template or A/B are not gazetteer aliases).
+    Pure column expressions; the gazetteer membership test is an
+    ``array_contains`` over a constant-folded literal array.
+    """
+    cand = extract_relation_candidates(text)
+    valid = F.array(*[F.lit(a) for a in sorted(aliases)])
+    ok = (
+        cand["subj_alias"].isNotNull()
+        & F.array_contains(valid, cand["subj_alias"])
+        & F.array_contains(valid, cand["obj_alias"])
+    )
+    return F.struct(
+        F.when(ok, cand["subj_alias"]).alias("subj_alias"),
+        F.when(ok, cand["obj_alias"]).alias("obj_alias"),
+        F.when(ok, cand["year"]).alias("year"),
     )
 
 

@@ -215,6 +215,132 @@ def extract_candidate_triples(
     return per_turn.unionByName(rel_rows)
 
 
+def extract_candidate_triples_join(
+    turns: DataFrame, aliases: DataFrame
+) -> DataFrame:
+    """At-scale twin of :func:`extract_candidate_triples`: the gazetteer
+    stays a DataFrame end to end (no ``alias_list`` / ``best_alias_map``
+    driver collects) — tokenize + candidate join + per-turn longest-match
+    verification, see ``kg/matcher.py``. Emits best-alias entity URIs;
+    ``build_kg``'s at-scale branch follows with ``rewrite_canonical``.
+
+    Triple-set equality with the regex path is asserted by
+    ``test_kg_pipeline::test_build_kg_at_scale_path_matches_broadcast_path``
+    (which forces ``small_dim_threshold=0``, routing extraction through
+    this function).
+    """
+    from .matcher import (
+        alias_match_table,
+        best_alias_entities,
+        mentions_from_candidates,
+        turn_candidate_aliases,
+    )
+    from .mentions import extract_relation_candidates
+
+    best = best_alias_entities(aliases)
+    cands = turn_candidate_aliases(turns, alias_match_table(aliases))
+    enriched = (
+        turns.join(cands, ["conv_id", "turn_idx"], "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            "text",
+            mentions_from_candidates(
+                F.col("text"), F.col("cand_aliases")
+            ).alias("_mentions"),
+            extract_relation_candidates(F.col("text")).alias("_relc"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    turn_uri = _turn_uri()
+    # fixed per-turn rows need no gazetteer at all
+    fixed = enriched.select(
+        "conv_id",
+        "turn_idx",
+        F.explode(
+            F.array(
+                _row(turn_uri, PRED_TEXT, F.col("text"), "literal"),
+                _row(turn_uri, RDF_TYPE, F.lit(CLASS_TURN), "iri"),
+            )
+        ).alias("t"),
+    ).select("conv_id", "turn_idx", "t.*")
+
+    # mention rows: explode distinct matched aliases, map via the join —
+    # distinct again at entity level (two aliases can share an entity,
+    # mirroring the regex path's array_distinct AFTER mapping)
+    mention_rows = (
+        enriched.select(
+            "conv_id",
+            "turn_idx",
+            F.explode(F.array_distinct("_mentions")).alias("alias"),
+        )
+        .join(best, "alias")
+        .select("conv_id", "turn_idx", F.col("entity_uri"))
+        .distinct()
+        .select(
+            "conv_id",
+            "turn_idx",
+            _turn_uri().alias("subj"),
+            F.lit(PRED_MENTIONS).alias("pred"),
+            F.col("entity_uri").alias("obj_value"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+    )
+
+    # relation membership = the alias join itself (every alias row maps to
+    # its argmax entity; an inner join is the membership gate)
+    relc = F.col("_relc")
+    valid_rel = (
+        enriched.filter(relc["subj_alias"].isNotNull())
+        .select(
+            "conv_id",
+            "turn_idx",
+            relc["subj_alias"].alias("_sa"),
+            relc["obj_alias"].alias("_oa"),
+            relc["year"].alias("_year"),
+        )
+        .join(best.withColumnRenamed("alias", "_sa"), "_sa")
+        .withColumnRenamed("entity_uri", "_se")
+        .join(best.withColumnRenamed("alias", "_oa"), "_oa")
+        .withColumnRenamed("entity_uri", "_oe")
+    )
+    year_rows = valid_rel.select(
+        "conv_id",
+        "turn_idx",
+        _turn_uri().alias("subj"),
+        F.lit(PRED_IN_YEAR).alias("pred"),
+        F.col("_year").alias("obj_value"),
+        F.lit("literal").alias("obj_kind"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(XSD_GYEAR).alias("obj_datatype"),
+    )
+    rel_rows = (
+        valid_rel.select(
+            "conv_id",
+            "turn_idx",
+            F.col("_se").alias("subj"),
+            F.lit(PRED_RELEASED).alias("pred"),
+            F.col("_oe").alias("obj_value"),
+            F.lit("iri").alias("obj_kind"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+        .groupBy(
+            "conv_id", "subj", "pred", "obj_value", "obj_kind",
+            "obj_lang", "obj_datatype",
+        )
+        .agg(F.min("turn_idx").alias("turn_idx"))
+    )
+    return (
+        fixed.unionByName(mention_rows)
+        .unionByName(year_rows)
+        .unionByName(rel_rows)
+    )
+
+
 def canonical_entity_map(
     aliases: DataFrame,
     small_dim_threshold: int = 50_000,
@@ -386,22 +512,17 @@ def build_kg(
       the canonical map composes INTO the linking map (alias → canonical
       entity), extraction emits canonical URIs directly, and the post-hoc
       rewrite joins vanish from the hot path.
-    - **at scale**: the canonical map is never collected to the driver
-      (``canonical_entity_map`` already went distributed; collecting its
-      result would be the driver OOM). Extraction emits best-alias entity
-      URIs and the canonical rewrite runs as ``rewrite_canonical``'s
-      broadcast/shuffle joins. Same triple set — ``test_kg_pipeline``
-      asserts equality between the two paths.
-
-    The GAZETTEER itself (alias list + alias→entity argmax) stays
-    driver-composed on both paths: the regex matcher fundamentally needs a
-    literal pattern, so the matchable dictionary is broadcast-scale by
-    construction. A mined 10^8-alias dictionary needs a join-based matcher
-    (tokenize + broadcast-bucket join), which swaps in at the extraction
-    stage without touching the canonicalization branch here.
+    - **at scale**: NOTHING gazetteer-sized touches the driver. Extraction
+      runs the join-based matcher (``extract_candidate_triples_join`` /
+      ``kg/matcher.py`` — tokenize + candidate join + per-turn
+      longest-match verification, argmax linking as a struct-min
+      aggregate), the canonical map is never collected
+      (``canonical_entity_map`` already went distributed), and the
+      canonical rewrite runs as ``rewrite_canonical``'s broadcast/shuffle
+      joins. Same triple set — ``test_kg_pipeline`` asserts equality
+      between the two paths. A mined 10^8-alias dictionary flows through
+      this branch end to end as DataFrames.
     """
-    alias_list = [r.alias for r in aliases.select("alias").distinct().collect()]
-
     # an extra salted repartition only pays when a caller wants a specific
     # parallelism before the (narrow) extraction stage — stable_turns'
     # conv_id shuffle already distributes the corpus
@@ -416,17 +537,18 @@ def build_kg(
         aliases.limit(small_dim_threshold + 1).count() <= small_dim_threshold
     )
     canon = canonical_entity_map(aliases, small_dim_threshold, small=small)
-    best = best_alias_map(aliases)
     if small:
+        alias_list = [
+            r.alias for r in aliases.select("alias").distinct().collect()
+        ]
+        best = best_alias_map(aliases)
         canon_map = {r.entity_uri: r.canonical_id for r in canon.collect()}
         composed = {a: canon_map.get(e, e) for a, e in best.items()}
         triples = extract_candidate_triples(
             turns, aliases, alias_list, entity_map=composed
         )
     else:
-        raw = extract_candidate_triples(
-            turns, aliases, alias_list, entity_map=best
-        )
+        raw = extract_candidate_triples_join(turns, aliases)
         triples = rewrite_canonical(raw, canon)
     triples = triples.withColumn("dataset_id", _conv_uri())
 
