@@ -114,6 +114,56 @@ def ttl_line(
     )
 
 
+def ttl_grouped_docs(
+    triples: DataFrame, n_docs: int = 8
+) -> DataFrame:
+    """Realistic grouped Turtle rendering: one document per hash bucket of
+    subjects, each subject a multi-line ``;`` predicate-object list (with
+    ``,`` object lists per predicate), directives at the top — the form
+    real ``.ttl`` dumps take, and the round-trip fixture for the
+    statement re-assembly pass (``sources/turtle_io.parse_turtle_docs``).
+
+    Returns ``(doc, ttl)``.
+    """
+    po = F.concat(
+        ttl_predicate(F.col("pred")),
+        F.lit(" "),
+        F.concat_ws(
+            " ,\n        ", F.array_sort(F.collect_list("_obj"))
+        ),
+    )
+    per_pred = (
+        triples.withColumn(
+            "_obj",
+            ttl_object(
+                F.col("obj_value"), F.col("obj_kind"), F.col("obj_lang"),
+                F.col("obj_datatype"),
+            ),
+        )
+        .groupBy("subj", "pred")
+        .agg(po.alias("_po"))
+    )
+    per_subj = per_pred.groupBy("subj").agg(
+        F.concat(
+            ttl_subject(F.col("subj")),
+            F.lit(" "),
+            F.concat_ws(" ;\n    ", F.array_sort(F.collect_list("_po"))),
+            F.lit(" ."),
+        ).alias("_block")
+    )
+    header = "\n".join(prefix_directives())
+    return (
+        per_subj.withColumn("doc", F.pmod(F.xxhash64("subj"), F.lit(n_docs)))
+        .groupBy("doc")
+        .agg(
+            F.concat(
+                F.lit(header + "\n\n"),
+                F.concat_ws("\n\n", F.array_sort(F.collect_list("_block"))),
+            ).alias("ttl")
+        )
+    )
+
+
 def sql_ttl_iri(expr: str) -> str:
     out = f"'<'||{expr}||'>'"
     for p, ns in sorted(PREFIXES.items()):

@@ -396,18 +396,21 @@ def q_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ttl_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Render the fixture graph as Turtle (directives + prefixed-name
-    lines), parse it back with the native Turtle reader, emit N-Triples.
-    Oracle = ``nt_render`` straight off the graph, so the hash compare
-    proves ttl-parse ∘ ttl-render == id (prefix expansion, `a`, escaping,
-    lang/datatype round-trips included)."""
-    from .functions.formats import PREFIXES
-    from .sources.turtle_io import parse_turtle
+    """Render the fixture graph as GROUPED Turtle documents — multi-line
+    ``;`` predicate-object lists with ``,`` object lists, the form real
+    ``.ttl`` dumps take — then parse back through the statement
+    re-assembly pass and emit N-Triples. Oracle = ``nt_render`` straight
+    off the graph, so the hash compare proves
+    ttl-parse ∘ group-render == id (statement re-assembly, list
+    expansion, prefix expansion, `a`, escaping, lang/datatype
+    round-trips included)."""
+    from .functions.formats import PREFIXES, ttl_grouped_docs
+    from .sources.turtle_io import parse_turtle_docs
 
-    lines = q_ttl_render(spark, sf_dir).withColumnRenamed("line", "value")
+    docs = ttl_grouped_docs(_graph(spark, sf_dir))
     # the directive map is known from the renderer — passing it skips the
     # extract collect; extract_prefixes() is tested separately
-    parsed = parse_turtle(lines, prefixes=PREFIXES)
+    parsed = parse_turtle_docs(docs, prefixes=PREFIXES)
     return parsed.select(
         nt_line(
             F.col("subj"), F.col("pred"), F.col("obj_value"),

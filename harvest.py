@@ -84,7 +84,7 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
         read_rdf_source,
     )
 
-    if fmt in ("nt", "nq", "ttl", "jsonld"):
+    if fmt in ("nt", "nq", "jsonld"):
         lines = read_rdf_source(spark, path)
         if pre:
             lines = lines.select(pre_process(F.col("value")).alias("value"))
@@ -94,20 +94,24 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
             return parse_nquads(lines, keep_malformed=keep_malformed).drop(
                 "graph"
             )
-        if fmt == "ttl":
-            from bop_consus_importing_rdf_spark.sources.turtle_io import (
-                parse_turtle,
-            )
-
-            return parse_turtle(lines, keep_malformed=keep_malformed)
         from bop_consus_importing_rdf_spark.sources.jsonld_io import (
             parse_jsonld,
         )
 
         return parse_jsonld(lines, keep_malformed=keep_malformed)
 
-    # whole-document syntaxes
+    # whole-document syntaxes (Turtle goes through statement re-assembly:
+    # real .ttl dumps use `;`/`,` lists and multi-line statements)
     docs = spark.read.text(path, wholetext=True)
+    if fmt == "ttl":
+        from bop_consus_importing_rdf_spark.sources.turtle_io import (
+            parse_turtle_docs,
+        )
+
+        return parse_turtle_docs(
+            docs.select(F.col("value").alias("ttl")),
+            keep_malformed=keep_malformed,
+        )
     if fmt == "rdfxml":
         from bop_consus_importing_rdf_spark.functions.rdfxml import (
             parse_rdfxml,

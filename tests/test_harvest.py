@@ -162,3 +162,40 @@ def test_harvest_bucketed_triple_landing(spark, tmp_path, graph):
     assert desc.get("Num Buckets") == "8"
     assert "subj" in desc.get("Bucket Columns", "")
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_harvest_real_world_style_ttl(spark, tmp_path, graph):
+    """A hand-written real-world style .ttl — multi-line `;` lists, `,`
+    object lists, comments, SPARQL PREFIX — harvests with zero rejects and
+    the list statements fully expanded."""
+    src = tmp_path / "catalogue.ttl"
+    src.write_text(
+        "@prefix dcat: <http://www.w3.org/ns/dcat#> .\n"
+        "@prefix dct: <http://purl.org/dc/terms/> .\n"
+        "PREFIX ex: <urn:p:>\n"
+        "\n"
+        "# one dataset, list-style\n"
+        "<urn:ds:list> a dcat:Dataset ;\n"
+        "    dct:identifier \"ds-list\" ;\n"
+        "    ex:keyword \"alpha\" , \"beta\" , \"gamma\" ;\n"
+        "    ex:note \"\"\"spans\nlines\"\"\" .\n"
+        "\n"
+        "<urn:ds:second> a dcat:Dataset ;\n"
+        "    dct:identifier \"ds-second\" ;\n"
+        "    ex:price 5.0 .\n",
+        encoding="utf-8",
+    )
+    out = str(tmp_path / "out_ttl")
+    summary = run_harvest(spark, str(src), out, catalogue="cat-ttl")
+    assert summary["format"] == "ttl"
+    assert summary["n_rejects"] == 0
+    # 6 statements for ds:list (type + id + 3 keywords + note) + 3 for
+    # ds:second
+    assert summary["n_statements"] == 9
+    assert summary["n_datasets"] == 2
+    man = [
+        json.loads(ln)
+        for p in Path(out, "manifest").glob("*.json")
+        for ln in p.read_text().splitlines()
+    ]
+    assert sorted(man[0]["identifiers"]) == ["ds-list", "ds-second"]

@@ -221,3 +221,91 @@ def test_trig_duplicate_docs_keep_separate_graph_context(spark):
     rows = parse_trig(docs, prefixes={}, carry_cols=("doc_id",)).collect()
     assert len(rows) == 2
     assert all(r.graph == "urn:g1" and r.subj == "urn:a" for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# statement re-assembly (round-4: predicate-object lists, multi-line)
+# ---------------------------------------------------------------------------
+
+def test_split_statements_expands_lists_and_normalizes_strings():
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _split_statements,
+    )
+
+    doc = (
+        "@prefix ex: <urn:p:> .\n"
+        "PREFIX dct: <http://purl.org/dc/terms/>\n"
+        "# comment\n"
+        "<urn:ds:1> a ex:Dataset ;\n"
+        "    dct:title \"One line\"@en , 'single' ;\n"
+        "    ex:price 5.0 ;\n"
+        "    ex:note \"\"\"tri\"ple\ntext\\u0041\"\"\"^^ex:dt .\n"
+        "ex:s2 ex:p <urn:o> . ex:s2 ex:q 1.5 .\n"
+        "<urn:bad> ex:p [ ex:inner \"x\" ] .\n"
+        "<urn:unterminated> ex:p \"v\"\n"
+    )
+    got = _split_statements(doc)
+    assert got == [
+        "@prefix ex: <urn:p:> .",
+        "PREFIX dct: <http://purl.org/dc/terms/>",
+        "<urn:ds:1> a ex:Dataset .",
+        '<urn:ds:1> dct:title "One line"@en .',
+        '<urn:ds:1> dct:title "single" .',
+        "<urn:ds:1> ex:price 5.0 .",
+        '<urn:ds:1> ex:note "tri\\"ple\\ntext\\u0041"^^ex:dt .',
+        "ex:s2 ex:p <urn:o> .",
+        "ex:s2 ex:q 1.5 .",
+        # unsupported / unterminated collapse to malformed-by-construction
+        '<urn:bad> ex:p [ ex:inner "x" ]',
+        '<urn:unterminated> ex:p "v"',
+    ]
+
+
+def test_parse_turtle_docs_roundtrip_grouped(spark):
+    """Grouped multi-line `;`/`,` rendering → re-assembly parse == the
+    original statement set."""
+    from bop_consus_importing_rdf_spark.functions.formats import (
+        ttl_grouped_docs,
+    )
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        parse_turtle_docs,
+    )
+
+    rows = [
+        ("urn:s", "urn:p:x", "v1", "literal", None, None),
+        ("urn:s", "urn:p:x", "v2", "literal", "en", None),
+        ("urn:s", "urn:p:y", "urn:o", "iri", None, None),
+        ("_:b", "urn:p:x", "hey\nthere", "literal", None, None),
+        ("urn:t", "urn:p:z", "5", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj_value string, obj_kind string, "
+        "obj_lang string, obj_datatype string",
+    )
+    docs = ttl_grouped_docs(t, n_docs=2)
+    # every doc is genuinely multi-line with a `;` or `,` list in it
+    assert all("\n" in r.ttl for r in docs.collect())
+    back = parse_turtle_docs(docs)
+    a = back.select(*KEY)
+    assert a.exceptAll(t.select(*KEY)).count() == 0
+    assert t.select(*KEY).exceptAll(a).count() == 0
+
+
+def test_parse_turtle_docs_malformed_bucket_counts_unsupported(spark):
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        parse_turtle_docs,
+    )
+
+    doc = (
+        "<urn:a> <urn:p> <urn:o> ;\n    <urn:q> \"v\" .\n"
+        "<urn:bad> <urn:p> ( 1 2 3 ) .\n"
+    )
+    docs = spark.createDataFrame([(doc,)], "ttl string")
+    kept = parse_turtle_docs(docs, prefixes={}, keep_malformed=True)
+    good = kept.filter(F.col("obj_kind").isNotNull())
+    bad = kept.filter(F.col("obj_kind").isNull())
+    assert good.count() == 2
+    assert bad.count() == 1
+    assert "( 1 2 3 )" in bad.collect()[0].obj_value
