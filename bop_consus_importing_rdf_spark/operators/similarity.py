@@ -76,6 +76,133 @@ def cosine_topk(
     )
 
 
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[int]]]:
+    """Lloyd-refined IVF centroids as a bounded DataFrame loop.
+
+    Initialization = deterministic farthest-first traversal (Gonzalez):
+    start from the lowest-id vector, then repeatedly add the vector
+    farthest from its nearest chosen centroid (ties → lowest vec_id).
+    Plain Lloyd from the naive lowest-id sample cannot escape a degenerate
+    init (measured: 0.72 recall from an all-one-cluster init where
+    farthest-first reaches ~1.0) — farthest-first provably covers every
+    well-separated cluster before refinement even starts. Each Lloyd
+    iteration then assigns every vector with the SAME literal-argmin
+    projection the operator uses (one job over the persisted quantized
+    corpus — centroids are literals, so plan lineage does NOT grow with
+    iterations and no checkpoint discipline is needed) and recomputes each
+    centroid as the per-dimension mean of its members (empty cells keep
+    their previous centroid). Everything is deterministic: quantized-long
+    input, first-match argmin tie-break, ``round()`` on the means.
+
+    Returns ``[(cell_id, centroid_longs)]`` for ``ivf_topk``'s
+    ``centroids`` parameter — cell ids are ``0..n_cells-1``. Per-step
+    driver traffic is O(n_cells·dim) — dimension reads; the init costs
+    ``n_cells`` small take-ordered jobs, the loop one job per iteration.
+    """
+    from pyspark import StorageLevel
+
+    quant = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+    v = (
+        vectors.select(F.col(id_col).alias("vec_id"), quant.alias("_v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    first = v.orderBy("vec_id").limit(1).collect()
+    if not first:
+        v.unpersist()
+        return []
+    dim = len(first[0]._v)
+
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    cents: list[list[int]] = [[int(x) for x in first[0]._v]]
+    while len(cents) < n_cells:
+        cents_lit = F.array(
+            *[F.array(*[F.lit(c).cast("long") for c in cent]) for cent in cents]
+        )
+        far = (
+            v.withColumn(
+                "_md",
+                F.array_min(
+                    F.transform(cents_lit, lambda c: l2sq(F.col("_v"), c))
+                ),
+            )
+            .orderBy(F.desc("_md"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not far or far[0]._md == 0:
+            break  # fewer distinct vectors than cells
+        cents.append([int(x) for x in far[0]._v])
+    for _ in range(n_iters):
+        cents_lit = F.array(
+            *[F.array(*[F.lit(c).cast("long") for c in cent]) for cent in cents]
+        )
+        ids_lit = F.array(*[F.lit(i).cast("long") for i in range(len(cents))])
+        assigned = _assign_cells(v, cents_lit, ids_lit)
+        new_rows = (
+            assigned.groupBy("_cell")
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.element_at("_v", i + 1))).cast("long")
+                        for i in range(dim)
+                    ]
+                ).alias("_c")
+            )
+            .collect()
+        )
+        by_cell = {int(r._cell): [int(x) for x in r._c] for r in new_rows}
+        nxt = [by_cell.get(i, cents[i]) for i in range(len(cents))]
+        if nxt == cents:
+            break
+        cents = nxt
+    v.unpersist()
+    return list(enumerate(cents))
+
+
+def _assign_cells(v: DataFrame, cents_lit: Column, cell_ids_lit: Column) -> DataFrame:
+    """``(vec_id, _v, _cell)`` — nearest-centroid assignment as ONE literal
+    argmin projection, zero shuffles. Ties → first (lowest) cell id via
+    ``array_position``'s first-match rule. The distance array is projected
+    into a NAMED column first: higher-order functions evaluate interpreted
+    with no common-subexpression sharing, so referencing the distance
+    expression twice would compute the n_cells × dim aggregate twice per
+    corpus row."""
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
+    return (
+        v.withColumn(
+            "_d", F.transform(cents_lit, lambda c: l2sq(F.col("_v"), c))
+        )
+        .withColumn(
+            "_cell",
+            F.element_at(
+                cell_ids_lit,
+                F.array_position(F.col("_d"), F.array_min("_d")).cast("int"),
+            ),
+        )
+        .drop("_d")
+    )
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -85,6 +212,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse quantizer + probed-cell re-rank.
 
@@ -95,14 +223,18 @@ def ivf_topk(
     per-query candidate set is ~``n_probe/n_cells`` of the corpus instead
     of all of it, and the cell assignment partitions ship with the data.
 
-    Centroids here are SAMPLED deterministically (the ``n_cells`` lowest
-    ``id_col`` vectors) rather than Lloyd-refined — a valid coarse
-    quantizer (k-means init without refinement), chosen so every value in
-    the operator is integer-exact: vectors quantize to ``floor(x*1000)``
-    longs, cell assignment = integer L2² argmin (ties → lowest cell id),
-    re-rank = single-division quantized cosine. That makes the whole
-    operator byte-checkable against a SQL oracle; swapping in trained
-    centroids changes only the ``cents`` input.
+    Default centroids are SAMPLED deterministically (the ``n_cells``
+    lowest ``id_col`` vectors) — a valid coarse quantizer (k-means init
+    without refinement), chosen so every value in the operator is
+    integer-exact: vectors quantize to ``floor(x*1000)`` longs, cell
+    assignment = integer L2² argmin (ties → lowest cell id), re-rank =
+    single-division quantized cosine. That makes the whole operator
+    byte-checkable against a SQL oracle (the contract query keeps this
+    path). Pass ``centroids`` — e.g. from :func:`train_ivf_centroids`'s
+    Lloyd refinement — to swap in a trained quantizer: only the
+    ``(cell_id, centroid_longs)`` input changes, the plan is identical
+    (recall gate: ``test_similarity`` asserts ≥0.95 @ n_probe 4/16 with
+    trained centroids on the fixture vs exact).
 
     Returns ``(query_id, vec_id, cosine_sim, rank)``.
     """
@@ -116,13 +248,18 @@ def ivf_topk(
     q = queries.select(F.col(query_id_col).alias("query_id"), quant.alias("_qv"))
     # The centroids are broadcast-scale BY CONSTRUCTION (n_cells rows), so
     # fold them into literal arrays — the rhp_signature plane-matrix trick —
-    # and compute cell assignment as a single projection. The previous
-    # crossJoin(cents) + row_number() formulation shuffled corpus×n_cells
-    # rows just to take an argmin: a 16× amplification of the full corpus
-    # through an exchange, the exact shape that dies at 10^11 vectors.
-    # This collect is O(n_cells) — a dimension read, not a data read.
-    cent_rows = v.orderBy("vec_id").limit(n_cells).collect()
-    if not cent_rows:
+    # and compute cell assignment as a single projection (_assign_cells).
+    # The previous crossJoin(cents) + row_number() formulation shuffled
+    # corpus×n_cells rows just to take an argmin: a 16× amplification of
+    # the full corpus through an exchange, the exact shape that dies at
+    # 10^11 vectors. The sampling collect is O(n_cells) — a dimension
+    # read, not a data read.
+    if centroids is not None:
+        cent_pairs = list(centroids)
+    else:
+        cent_rows = v.orderBy("vec_id").limit(n_cells).collect()
+        cent_pairs = [(r.vec_id, [int(c) for c in r._v]) for r in cent_rows]
+    if not cent_pairs:
         # empty corpus: no centroids → no candidates. Return the empty
         # result explicitly — sequence(1, 0) below would step BACKWARDS to
         # [1, 0] and element_at(…, 0) raises in every SQL mode.
@@ -132,18 +269,11 @@ def ivf_topk(
         )
     cents_lit = F.array(
         *[
-            F.array(*[F.lit(int(c)).cast("long") for c in r._v])
-            for r in cent_rows
+            F.array(*[F.lit(int(c)).cast("long") for c in cent])
+            for _, cent in cent_pairs
         ]
     )
-    cell_ids_lit = F.array(*[F.lit(r.vec_id) for r in cent_rows])
-
-    def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
+    cell_ids_lit = F.array(*[F.lit(cid).cast("long") for cid, _ in cent_pairs])
 
     def idot(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -152,34 +282,27 @@ def ivf_topk(
             lambda acc, d: acc + d,
         )
 
+    def l2sq(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d,
+        )
+
     def dists(vec: str) -> Column:
         return F.transform(cents_lit, lambda c: l2sq(F.col(vec), c))
 
-    # argmin with ties → lowest cell id: cent_rows are sorted by vec_id, so
-    # array index order IS cell-id order and array_position's first-match
-    # rule implements the tie-break exactly. The distance array is projected
-    # into a NAMED column first: higher-order functions evaluate interpreted
-    # with no common-subexpression sharing, so referencing dists() twice
-    # (array_position + array_min) would compute the full n_cells × dim
-    # aggregate twice per corpus row — the dominant assignment cost.
-    assign = (
-        v.withColumn("_d", dists("_v"))
-        .withColumn(
-            "_cell",
-            F.element_at(
-                cell_ids_lit,
-                F.array_position(F.col("_d"), F.array_min("_d")).cast("int"),
-            ),
-        )
-        .drop("_d")
-    )
+    # argmin with ties → lowest cell id: cent_pairs are in ascending
+    # cell-id order (sampled rows sorted by vec_id / trained ids 0..n-1),
+    # so array_position's first-match rule implements the tie-break.
+    assign = _assign_cells(v, cents_lit, cell_ids_lit)
     # probe sets: sort (distance, cell) structs — array_sort orders struct
     # fields lexicographically, matching the (dist asc, cell asc) tie-break.
     # Same named-column projection (_qd) so the per-element struct build
     # indexes one precomputed array instead of re-deriving the whole
     # distance array per element (O(n_cells²·dim) per query row otherwise).
     probe_structs = F.transform(
-        F.sequence(F.lit(1), F.lit(len(cent_rows))),
+        F.sequence(F.lit(1), F.lit(len(cent_pairs))),
         lambda i: F.struct(
             F.element_at(F.col("_qd"), i).alias("d"),
             F.element_at(cell_ids_lit, i).alias("cell"),

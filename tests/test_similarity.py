@@ -83,3 +83,85 @@ def test_ivf_empty_corpus_returns_empty(spark):
         [(1, [0.1] * 4)], "query_id long, embedding array<float>"
     )
     assert ivf_topk(empty, q, k=3, n_cells=4, n_probe=2).count() == 0
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """Lloyd-refined centroids (train_ivf_centroids) hit recall ≥ 0.95 @
+    n_probe 4/16 vs exact, and clearly beat the sampled init, on a
+    CLUSTERED corpus — the structure k-means exists to recover.
+
+    (The sf embeddings fixture is isotropic random — mean pairwise cosine
+    ≈ 0 — where NO coarse quantizer can reach 0.95 at n_probe 4/16 and
+    Lloyd's balanced cells can even trail the skewed sampled cells'
+    accidental coverage; measured 0.88 vs 0.92 there. The clustered
+    corpus is the honest gate for the refinement itself.)"""
+    from bop_consus_importing_rdf_spark.operators.similarity import (
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    # 16 deterministic cluster centers, 25 members each: member = center
+    # (±1 pattern from hash bits) + small per-member jitter — unit-ish
+    # magnitudes like real embeddings (the quantized-long norm product
+    # overflows int64 past |x| ≈ 30 at this dim)
+    n_clusters, per, dim = 16, 25, 16
+    # contiguous blocks per cluster: the sampled init (16 lowest ids) then
+    # lands entirely inside cluster 0 — the degenerate init Lloyd must
+    # escape
+    base = spark.range(n_clusters * per).select(
+        F.col("id").alias("vec_id"),
+        F.floor(F.col("id") / per).alias("c"),
+    )
+    member = F.array(
+        *[
+            (
+                F.when(
+                    F.pmod(F.xxhash64(F.col("c"), F.lit(d)), 2) == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0))
+                + F.pmod(F.xxhash64("vec_id", F.lit(d + 1000)), 7).cast(
+                    "double"
+                ) / 20.0
+            )
+            for d in range(dim)
+        ]
+    )
+    clustered = base.select("vec_id", member.alias("embedding")).cache()
+    qs = clustered.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    k = 10
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(clustered, qs, k=k).collect()
+    }
+    cents = train_ivf_centroids(clustered, n_cells=16, n_iters=5)
+    assert len(cents) == 16 and all(isinstance(c, list) for _, c in cents)
+    trained = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            clustered, qs, k=k, n_cells=16, n_probe=4, centroids=cents
+        ).collect()
+    }
+    sampled = {
+        (r.query_id, r.vec_id)
+        for r in ivf_topk(
+            clustered, qs, k=k, n_cells=16, n_probe=4
+        ).collect()
+    }
+    recall_trained = len(trained & exact) / len(exact)
+    recall_sampled = len(sampled & exact) / len(exact)
+    assert recall_trained >= 0.95, (recall_trained, recall_sampled)
+    assert recall_trained > recall_sampled, (recall_trained, recall_sampled)
+
+
+def test_train_ivf_centroids_empty_and_deterministic(spark, vectors):
+    from bop_consus_importing_rdf_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    empty = vectors.filter(F.col("vec_id") < 0)
+    assert train_ivf_centroids(empty, n_cells=4) == []
+    a = train_ivf_centroids(vectors, n_cells=8, n_iters=3)
+    b = train_ivf_centroids(vectors, n_cells=8, n_iters=3)
+    assert a == b
