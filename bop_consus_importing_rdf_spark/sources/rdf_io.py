@@ -238,7 +238,18 @@ def parse_ntriples(
     dt = F.nullif(dt_raw, F.lit(""))
 
     iri_value = F.substring(iri_raw, F.lit(2), F.length(iri_raw) - 2)
-    clean = base.filter(~needs_py & nd_guard).select(
+    # Malformed-drop happens PER BRANCH, not as an outer
+    # filter(obj_kind.isNotNull()) over the union: Catalyst substitutes a
+    # computed column's expression into the predicate, so the outer spelling
+    # re-evaluates the whole packed-parse chain in the filter on top of the
+    # projection — measured 14.5s vs 5.3s for the identical result at 905k
+    # lines. The clean branch's cheap equivalent is `matched` (obj_kind is
+    # non-NULL iff the pack matched); the assist branch filters on the
+    # ArrowEvalPython OUTPUT attribute, which never re-runs the UDF.
+    clean_pred = ~needs_py & nd_guard
+    if not keep_malformed:
+        clean_pred = clean_pred & matched
+    clean = base.filter(clean_pred).select(
         *carry,
         F.when(matched, subj).alias("subj"),
         F.when(matched, pred_raw).alias("pred"),
@@ -259,10 +270,9 @@ def parse_ntriples(
         .select(*carry, _parse_py(line).alias("_p"))
         .select(*carry, "_p.*")
     )
-    parsed = clean.unionByName(assist)
     if keep_malformed:
-        return parsed
-    return parsed.filter(F.col("obj_kind").isNotNull())
+        return clean.unionByName(assist)
+    return clean.unionByName(assist.filter(F.col("obj_kind").isNotNull()))
 
 
 # N-Quads = N-Triples + optional graph label (IRI or bnode) before the dot.
