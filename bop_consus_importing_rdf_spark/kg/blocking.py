@@ -53,7 +53,13 @@ def entity_similarity_edges(
     profiles = entity_profiles(aliases)
     sh = char_shingles(profiles, "entity_uri", "profile", shingle_n)
     sig = minhash_signature(sh, k)
-    cand = lsh_candidate_pairs(sig, bands, k // bands)
+    # explicit hot-bucket cap: this is a CLUSTERING consumer (edges feed
+    # connected_components), where bucket connectivity — not exhaustive
+    # pair listing — is the contract; an uncapped boilerplate-hot band
+    # bucket goes B²/2-quadratic (round-3 probe: 13.3M candidates / 2,556
+    # true pairs). The listing API's default became None in round 4, so
+    # the cap must be passed here.
+    cand = lsh_candidate_pairs(sig, bands, k // bands, max_bucket=4096)
     return jaccard_pairs(cand, sh, threshold).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "jaccard"
     )

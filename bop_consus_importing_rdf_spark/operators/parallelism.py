@@ -80,15 +80,33 @@ def ensure_min_parallelism(
     estimated work (``input_bytes × multiplier``) is large enough that
     starvation would dominate. ``multiplier`` is the caller's explode /
     per-row-compute amplification factor (≈ output-stage bytes or flops
-    per input byte)."""
+    per input byte).
+
+    Split estimate mirrors Spark's own file-split sizing: the planner
+    packs ``min(maxPartitionBytes, max(openCostInBytes, size/cores))``
+    bytes per split, so any scan of at least ``cores × openCostInBytes``
+    (128MB at 32 cores with the 4MB default) already yields ≥ one split
+    per core — provable no-op, no physical planning. (Heuristic caveat:
+    unsplittable sources — gzip text — plan one partition regardless of
+    size; this guard reads logical stats and cannot see that.)
+
+    Plans with NO size statistic (the Long.MaxValue sentinel — e.g.
+    checkpointed/RDD-backed frames) fall back to the physical
+    partition-count probe: paying one planning pass beats silently
+    re-introducing the 2-core explode starvation on exactly the resume
+    layer's checkpointed inputs."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     size = plan_size_bytes(df)
-    max_split = _size_suffix_bytes(
-        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")
+    if size == _UNKNOWN_SIZE:
+        if df.rdd.getNumPartitions() < target:
+            return df.repartition(target)
+        return df
+    open_cost = _size_suffix_bytes(
+        spark.conf.get("spark.sql.files.openCostInBytes", "4194304")
     )
-    if size >= target * max_split:
-        return df  # scan already yields >= target splits (or size unknown)
+    if size >= target * open_cost:
+        return df  # Spark's split sizing already yields >= target splits
     if size * multiplier < work_floor:
         return df  # tiny: a shuffle costs more than 1-2-core execution
     return df.repartition(target)

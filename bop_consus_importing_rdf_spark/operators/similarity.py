@@ -40,6 +40,32 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _quant(vec_col: str) -> Column:
+    """floor(x*1000) long quantization — shared by the IVF trainer and
+    operator so assignment arithmetic is identical in both."""
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Integer squared L2 over quantized-long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _idot(a: Column, b: Column) -> Column:
+    """Integer dot product over quantized-long arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
 def cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -107,11 +133,8 @@ def train_ivf_centroids(
     """
     from pyspark import StorageLevel
 
-    quant = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
-    )
     v = (
-        vectors.select(F.col(id_col).alias("vec_id"), quant.alias("_v"))
+        vectors.select(F.col(id_col).alias("vec_id"), _quant(vec_col).alias("_v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     first = v.orderBy("vec_id").limit(1).collect()
@@ -119,13 +142,6 @@ def train_ivf_centroids(
         v.unpersist()
         return []
     dim = len(first[0]._v)
-
-    def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
 
     cents: list[list[int]] = [[int(x) for x in first[0]._v]]
     while len(cents) < n_cells:
@@ -136,7 +152,7 @@ def train_ivf_centroids(
             v.withColumn(
                 "_md",
                 F.array_min(
-                    F.transform(cents_lit, lambda c: l2sq(F.col("_v"), c))
+                    F.transform(cents_lit, lambda c: _l2sq(F.col("_v"), c))
                 ),
             )
             .orderBy(F.desc("_md"), F.asc("vec_id"))
@@ -181,16 +197,9 @@ def _assign_cells(v: DataFrame, cents_lit: Column, cell_ids_lit: Column) -> Data
     with no common-subexpression sharing, so referencing the distance
     expression twice would compute the n_cells × dim aggregate twice per
     corpus row."""
-    def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-
     return (
         v.withColumn(
-            "_d", F.transform(cents_lit, lambda c: l2sq(F.col("_v"), c))
+            "_d", F.transform(cents_lit, lambda c: _l2sq(F.col("_v"), c))
         )
         .withColumn(
             "_cell",
@@ -241,11 +250,10 @@ def ivf_topk(
     from .parallelism import ensure_min_parallelism
 
     vectors = ensure_min_parallelism(vectors, multiplier=n_cells)
-    quant = F.transform(
-        F.col(vec_col), lambda x: F.floor(x.cast("double") * 1000).cast("long")
+    v = vectors.select(F.col(id_col).alias("vec_id"), _quant(vec_col).alias("_v"))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), _quant(vec_col).alias("_qv")
     )
-    v = vectors.select(F.col(id_col).alias("vec_id"), quant.alias("_v"))
-    q = queries.select(F.col(query_id_col).alias("query_id"), quant.alias("_qv"))
     # The centroids are broadcast-scale BY CONSTRUCTION (n_cells rows), so
     # fold them into literal arrays — the rhp_signature plane-matrix trick —
     # and compute cell assignment as a single projection (_assign_cells).
@@ -273,24 +281,13 @@ def ivf_topk(
             for _, cent in cent_pairs
         ]
     )
-    cell_ids_lit = F.array(*[F.lit(cid).cast("long") for cid, _ in cent_pairs])
-
-    def idot(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
-
-    def l2sq(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d,
-        )
+    # NO cast on the ids: sampled cell ids keep the corpus id_col's native
+    # type (a string id_col stays string — a long cast would NULL it and
+    # silently empty the probe join); trained ids are plain ints
+    cell_ids_lit = F.array(*[F.lit(cid) for cid, _ in cent_pairs])
 
     def dists(vec: str) -> Column:
-        return F.transform(cents_lit, lambda c: l2sq(F.col(vec), c))
+        return F.transform(cents_lit, lambda c: _l2sq(F.col(vec), c))
 
     # argmin with ties → lowest cell id: cent_pairs are in ascending
     # cell-id order (sampled rows sorted by vec_id / trained ids 0..n-1),
@@ -320,8 +317,8 @@ def ivf_topk(
         .select("query_id", "_qv", F.col("_pc.cell").alias("_cell"))
     )
     cand = assign.join(probes, "_cell").select("query_id", "vec_id", "_v", "_qv")
-    sim = idot(F.col("_v"), F.col("_qv")).cast("double") / F.sqrt(
-        (idot(F.col("_v"), F.col("_v")) * idot(F.col("_qv"), F.col("_qv")))
+    sim = _idot(F.col("_v"), F.col("_qv")).cast("double") / F.sqrt(
+        (_idot(F.col("_v"), F.col("_v")) * _idot(F.col("_qv"), F.col("_qv")))
         .cast("double")
     )
     w_rank = Window.partitionBy("query_id").orderBy(

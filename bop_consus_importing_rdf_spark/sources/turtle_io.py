@@ -429,7 +429,7 @@ _LANG_SUFFIX_RE = re.compile(r"@[A-Za-z][A-Za-z0-9]*(?:-[A-Za-z0-9]+)*")
 _WORD_STOP = set(' \t\r\n\f\v;,#<"\'[](){}')
 
 
-def _requote(body: str, long_string: bool) -> str:
+def _requote(body: str) -> str:
     """Re-quote a string body into escaped double-quote single-line form.
 
     Escape sequences in the source pass through VERBATIM (the downstream
@@ -494,7 +494,7 @@ def _tokenize_ttl(text: str) -> Iterator[tuple[str, str]]:
                         break
                     j = k + 1
                 body, i = text[i + 3:k], k + 3
-                lit = _requote(body, long_string=True)
+                lit = _requote(body)
             else:
                 j = i + 1
                 while j < n and text[j] not in (c, "\n"):
@@ -504,7 +504,7 @@ def _tokenize_ttl(text: str) -> Iterator[tuple[str, str]]:
                         "unterminated string in Turtle document"
                     )
                 body, i = text[i + 1:j], j + 1
-                lit = _requote(body, long_string=False) if c == "'" else (
+                lit = _requote(body) if c == "'" else (
                     '"' + body + '"'
                 )
             # attach an IMMEDIATE @lang / ^^datatype suffix (no whitespace —
@@ -632,12 +632,24 @@ def _expand_statement(tokens: list[str]) -> list[str]:
     return lines or bad
 
 
+#: one document is re-assembled by one task (same per-document execution
+#: model as the reference's Jena read, ``Flows.kt:66-77``); past ~1GB a
+#: single document also approaches Spark's single-string limits, so fail
+#: loudly with actionable guidance instead of OOMing mid-task.
+MAX_TTL_DOC_BYTES = 1 << 30
+
+
 def normalize_turtle_docs(
     docs: DataFrame, ttl_col: str = "ttl", carry_cols: tuple[str, ...] = ()
 ) -> DataFrame:
     """Whole Turtle documents → one normalized statement/directive line per
     row (column ``value`` + ``carry_cols``), via an Arrow-batched
-    per-document re-assembly pass."""
+    per-document re-assembly pass.
+
+    Parallelism is ACROSS documents — a single multi-GB ``.ttl`` dump
+    normalizes in one task (and past ``MAX_TTL_DOC_BYTES`` raises with
+    guidance to split the dump into parts first); this mirrors the
+    reference, which reads one document single-threaded through Jena."""
     import pandas as pd  # noqa: F811 — local for the executor closure
 
     carry = list(carry_cols)
@@ -649,7 +661,15 @@ def normalize_turtle_docs(
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                for line in _split_statements(r[ttl_col] or ""):
+                text = r[ttl_col] or ""
+                if len(text) > MAX_TTL_DOC_BYTES:
+                    raise ValueError(
+                        f"Turtle document of {len(text)} chars exceeds the "
+                        f"{MAX_TTL_DOC_BYTES}-byte single-document limit — "
+                        "split the dump into parts (statement re-assembly "
+                        "parallelizes across documents, not within one)"
+                    )
+                for line in _split_statements(text):
                     rows.append([*(r[c] for c in carry), line])
             yield pd.DataFrame(rows, columns=[*carry, "value"])
 

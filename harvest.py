@@ -101,8 +101,23 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
         return parse_jsonld(lines, keep_malformed=keep_malformed)
 
     # whole-document syntaxes (Turtle goes through statement re-assembly:
-    # real .ttl dumps use `;`/`,` lists and multi-line statements)
+    # real .ttl dumps use `;`/`,` lists and multi-line statements).
+    # NOTE the per-document parallelism model matches the reference (Jena
+    # reads one document in one thread, Flows.kt:66-77): corpus
+    # parallelism is ACROSS files. normalize_turtle_docs raises loudly on
+    # a single document past ~1GB — split such dumps into parts first.
     docs = spark.read.text(path, wholetext=True)
+    if pre and fmt in ("ttl", "trig"):
+        # Turtle-family only: the space-in-IRI %-encode targets <...>
+        # brackets, which in XML are element tags whose attributes
+        # legitimately contain spaces — pre-processing RDF/XML would
+        # corrupt it, so it is rejected loudly below instead.
+        docs = docs.select(pre_process(F.col("value")).alias("value"))
+    elif pre:
+        raise SystemExit(
+            "--pre-process is not supported for RDF/XML input (the "
+            "space-in-IRI fix-up would corrupt XML attribute spacing)"
+        )
     if fmt == "ttl":
         from bop_consus_importing_rdf_spark.sources.turtle_io import (
             parse_turtle_docs,
@@ -155,7 +170,10 @@ def run_harvest(
     closure side is past the broadcast threshold the statement table is
     never exchanged (plan-asserted by ``test_bucketed.py``). The table
     doubles as the parse stage's durable checkpoint: a resumed run can
-    skip the parse entirely. Below the threshold the in-memory cache is
+    skip the parse entirely. The checkpoint only survives a PASSED
+    reject gate — on gate failure the table and its files are removed
+    before the raise — and under ``--keep-malformed`` it intentionally
+    includes the reject rows (``obj_kind`` NULL) for lineage. Below the threshold the in-memory cache is
     strictly cheaper (no write amplification for a catalogue that fits in
     one executor's memory); ``None`` disables the bucketed branch."""
     from pyspark.sql import functions as F
@@ -182,23 +200,33 @@ def run_harvest(
 
     parsed = load_triples(spark, input_path, fmt, pre, keep_malformed=True)
     src_bytes = plan_size_bytes(parsed)
+    bucketed_table = None
     if (
         bucket_threshold_bytes is not None
         and src_bytes != (1 << 63) - 1
         and src_bytes >= bucket_threshold_bytes
     ):
-        table = f"harvest_triples_{run_id}"
+        bucketed_table = f"harvest_triples_{run_id}"
         write_bucketed(
-            parsed, table, bucket_col="subj", n_buckets=n_buckets,
+            parsed, bucketed_table, bucket_col="subj", n_buckets=n_buckets,
             path=f"{output}/triples",
         )
-        parsed = spark.table(table)
+        parsed = spark.table(bucketed_table)
     else:
         parsed = parsed.cache()
     n_rejects = parsed.filter(F.col("obj_kind").isNull()).count()
     if n_rejects and not keep_malformed:
         # reference behavior: a parse error fails the pipe with context
-        # (Flows.kt:75-77); --keep-malformed downgrades to counted rejects
+        # (Flows.kt:75-77); --keep-malformed downgrades to counted rejects.
+        # A failed gate must not leave the bucketed table behind posing as
+        # a valid durable checkpoint — drop it AND its external files.
+        if bucketed_table is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {bucketed_table}")
+            jvm = spark._jvm
+            p = jvm.org.apache.hadoop.fs.Path(f"{output}/triples")
+            p.getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            ).delete(p, True)
         raise SystemExit(
             f"{n_rejects} unparseable statement(s) in {input_path} "
             f"(format {fmt}) — rerun with --keep-malformed to continue "

@@ -42,21 +42,40 @@ def test_noop_on_tiny_input(docs_parquet):
 
 
 def test_noop_on_wide_input(spark, docs_parquet):
-    # shrink maxPartitionBytes so the same scan counts as "already wide"
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    # shrink openCostInBytes so the same scan counts as "already wide"
+    # under Spark's own split sizing (size >= cores × openCost)
+    old = spark.conf.get("spark.sql.files.openCostInBytes")
     try:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", "1024b")
+        spark.conf.set("spark.sql.files.openCostInBytes", "64b")
         out = ensure_min_parallelism(docs_parquet, multiplier=10**6)
         assert out is docs_parquet
     finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+        spark.conf.set("spark.sql.files.openCostInBytes", old)
 
 
-def test_noop_on_unknown_size_local_relation(spark):
-    # createDataFrame plans report the Long.MaxValue sentinel → assume wide
+def test_unknown_size_falls_back_to_physical_probe(spark):
+    # stat-less plans (Long.MaxValue sentinel) use the partition-count
+    # probe: already-parallel frames no-op, narrow frames fan out
     df = spark.createDataFrame([(1, "a")], "id int, t string")
     assert plan_size_bytes(df) == (1 << 63) - 1
-    assert ensure_min_parallelism(df, multiplier=10**9) is df
+    wide_enough = df.rdd.getNumPartitions() >= (
+        spark.sparkContext.defaultParallelism
+    )
+    out = ensure_min_parallelism(df, multiplier=10**9)
+    if wide_enough:
+        assert out is df
+    else:
+        assert (
+            out.rdd.getNumPartitions()
+            == spark.sparkContext.defaultParallelism
+        )
+    narrow = df.coalesce(1).localCheckpoint()
+    assert plan_size_bytes(narrow) == (1 << 63) - 1
+    fanned = ensure_min_parallelism(narrow, multiplier=10**9)
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
 
 
 def test_repartitions_narrow_heavy_input(spark, docs_parquet):
