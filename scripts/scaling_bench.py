@@ -159,6 +159,14 @@ disagrees with the builder's own methodology" finding.
   cache — subj-keyed consumers scan pre-hashed buckets, and the table is
   the parse stage's durable resume checkpoint. Below threshold the cache
   branch remains (no write amplification at CLI scale).
+- **Join-matcher at-scale path characterized** (238k turns, local[32],
+  interleaved pairs): `build_kg(small_dim_threshold=0)` — tokenize+join
+  mention matching, distributed CC, rewrite joins, zero driver-side
+  gazetteer state — runs 17.1-19.8s vs 5.6-7.7s for the broadcast path
+  with the 120-alias fixture gazetteer. The ~2.6x constant overhead is
+  the price of unbounded dictionary capacity; the 50k-alias threshold
+  keys the branch so real workloads sit on the right side, and the two
+  paths are triple-set-equal by test.
 """
 
 
