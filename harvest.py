@@ -156,6 +156,7 @@ def run_harvest(
     keep_malformed: bool = False,
     bucket_threshold_bytes: int | None = 256 << 20,
     n_buckets: int = 64,
+    resume: bool = False,
 ) -> dict:
     """The full harvest DAG; returns summary counts (also printed by the
     CLI). Separated from ``main`` so tests drive it in-process.
@@ -198,11 +199,31 @@ def run_harvest(
         fmt = detect_format(input_path)
     run_id = uuid.uuid4().hex[:12]
 
-    parsed = load_triples(spark, input_path, fmt, pre, keep_malformed=True)
-    src_bytes = plan_size_bytes(parsed)
+    resumed = False
+    if resume:
+        # Resume from the committed parse artifact: read {output}/triples
+        # instead of re-parsing the source. Within the writing session the
+        # catalog still carries the bucket spec; a NEW session reads the
+        # same files as plain parquet (the in-memory catalog does not
+        # survive restarts without a Hive metastore) — the parse work is
+        # skipped either way, which is the expensive part.
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{output}/triples")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(p):
+            parsed = spark.read.parquet(f"{output}/triples")
+            resumed = True
+    if not resumed:
+        parsed = load_triples(
+            spark, input_path, fmt, pre, keep_malformed=True
+        )
+    src_bytes = 0 if resumed else plan_size_bytes(parsed)
     bucketed_table = None
+    # a resumed run must NEVER re-enter the bucketed write: it would
+    # overwrite {output}/triples from a plan that READS those same files
     if (
-        bucket_threshold_bytes is not None
+        not resumed
+        and bucket_threshold_bytes is not None
         and src_bytes != (1 << 63) - 1
         and src_bytes >= bucket_threshold_bytes
     ):
@@ -267,6 +288,7 @@ def run_harvest(
     summary = {
         "run_id": run_id,
         "format": fmt,
+        "resumed": resumed,
         "n_statements": triples.count(),
         "n_rejects": n_rejects,
         "n_datasets": counted.count(),
@@ -297,6 +319,9 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=64,
                     help="bucket count for the landed triple table — size "
                          "for the target cluster, not this job")
+    ap.add_argument("--resume", action="store_true",
+                    help="skip the parse when OUTPUT/triples exists from a "
+                         "previous committed run")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -319,6 +344,7 @@ def main() -> None:
         args.pre_process, args.remove_prefix, args.precedence_uri_ref,
         args.keep_malformed,
         bucket_threshold_bytes=thresh, n_buckets=args.n_buckets,
+        resume=args.resume,
     )
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     print(summary)

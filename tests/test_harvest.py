@@ -199,3 +199,34 @@ def test_harvest_real_world_style_ttl(spark, tmp_path, graph):
         for ln in p.read_text().splitlines()
     ]
     assert sorted(man[0]["identifiers"]) == ["ds-list", "ds-second"]
+
+
+def test_harvest_resume_skips_parse(spark, tmp_path, graph):
+    """A second run with resume=True reads the committed OUTPUT/triples
+    artifact instead of the (now deleted) source, and produces identical
+    split results."""
+    from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+
+    lines = graph.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    ).collect()
+    src = tmp_path / "dump.nt"
+    src.write_text("".join(r.line + "\n" for r in lines), encoding="utf-8")
+    out = str(tmp_path / "out_resume")
+    first = run_harvest(
+        spark, str(src), out, catalogue="cat-a", bucket_threshold_bytes=0
+    )
+    assert not first["resumed"]
+    spark.sql(f"DROP TABLE IF EXISTS harvest_triples_{first['run_id']}")
+    src.unlink()  # the source is GONE — only the committed artifact remains
+    second = run_harvest(
+        spark, str(src), out, catalogue="cat-a",
+        bucket_threshold_bytes=0, resume=True,
+    )
+    assert second["resumed"]
+    for k in ("n_statements", "n_rejects", "n_datasets",
+              "n_dataset_statements"):
+        assert second[k] == first[k], k
