@@ -423,7 +423,15 @@ def q_nquads_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Quads parse ∘ render == id, graph label included."""
     from .sources.rdf_io import parse_nquads
 
-    lines = q_nquads_render(spark, sf_dir).withColumnRenamed("line", "value")
+    # materialize the rendered lines before parsing — the parsers' caller
+    # contract (sources/turtle_io.parse_turtle docstring): real ingestion
+    # reads bytes, and a live multi-branch render producer is unsafe to
+    # feed a split-union parser directly
+    lines = (
+        q_nquads_render(spark, sf_dir)
+        .withColumnRenamed("line", "value")
+        .localCheckpoint()
+    )
     parsed = parse_nquads(lines)
     return parsed.select(
         "graph",
@@ -440,7 +448,8 @@ def q_trig_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.formats import PREFIXES
     from .sources.turtle_io import parse_trig
 
-    docs = q_trig_render(spark, sf_dir)
+    # materialized per the parsers' caller contract (see nquads roundtrip)
+    docs = q_trig_render(spark, sf_dir).localCheckpoint()
     parsed = parse_trig(docs, prefixes=PREFIXES, carry_cols=("doc_id",))
     return parsed.select(
         "graph",

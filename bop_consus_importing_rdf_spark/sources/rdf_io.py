@@ -172,7 +172,18 @@ def parse_ntriples(
 
     line = F.col(line_col)
     stripped = F.trim(line)
-    base = lines.filter((stripped != "") & ~stripped.startswith("#"))
+    # The always-true NONDETERMINISTIC guard is the FIRST conjunct of the
+    # base filter: predicate pushdown only moves the deterministic prefix
+    # BEFORE the first nondeterministic conjunct, so nothing here (or in
+    # the branch filters above) pushes below this point. With an upstream
+    # exchange (a repartition, a shuffle) the two branches then share ONE
+    # reused upstream execution; without the guard, every deterministic
+    # predicate is pushed into each upstream union branch/scan separately
+    # and an expensive producer runs once per branch.
+    nd_guard = F.rand(7) > F.lit(-1.0)
+    base = lines.filter(
+        nd_guard & (stripped != "") & ~stripped.startswith("#")
+    )
     # assist-branch routing (see docstring): raw sentinel bytes would
     # corrupt the packed split / replace-chain; \u \U need Python. Four
     # non-regex contains probes, codegen'd. A \u inside an IRI or behind an
@@ -181,15 +192,6 @@ def parse_ntriples(
         line.contains("\x01") | line.contains("\x02")
         | line.contains("\\u") | line.contains("\\U")
     )
-    # Always-true NONDETERMINISTIC guard: stops Catalyst pushing the two
-    # branch filters below an upstream exchange. With the filters above it,
-    # the branches share ONE identical exchange subtree and ReuseExchange
-    # materializes the upstream exactly once — without the guard, each
-    # branch gets its own filtered copy of the whole upstream plan and an
-    # expensive producer (a render, a join) runs twice. Bare source scans
-    # still plan as two scans, which measured CHEAPER at every scale than
-    # keeping an always-on Python exchange in the single-pass plan.
-    nd_guard = F.rand(7) > F.lit(-1.0)
     carry = [F.col(c) for c in carry_cols]
 
     # ONE regex pass over the line: pack ALL SEVEN groups with a \x01
@@ -246,7 +248,7 @@ def parse_ntriples(
     # lines. The clean branch's cheap equivalent is `matched` (obj_kind is
     # non-NULL iff the pack matched); the assist branch filters on the
     # ArrowEvalPython OUTPUT attribute, which never re-runs the UDF.
-    clean_pred = ~needs_py & nd_guard
+    clean_pred = ~needs_py
     if not keep_malformed:
         clean_pred = clean_pred & matched
     clean = base.filter(clean_pred).select(
@@ -266,7 +268,7 @@ def parse_ntriples(
         F.when(matched & ~is_iri & ~is_bnode, dt).alias("obj_datatype"),
     )
     assist = (
-        base.filter(needs_py & nd_guard)
+        base.filter(needs_py)
         .select(*carry, _parse_py(line).alias("_p"))
         .select(*carry, "_p.*")
     )

@@ -3,10 +3,10 @@
 The reference reads any standard RDF syntax through Jena (``JenaUtils.read``,
 reference ``Flows.kt:66-77``); round 2 shipped N-Triples and RDF/XML *parse*
 but only *rendered* Turtle/TriG. This module closes the ingestion gap with
-the same architecture as ``rdf_io.parse_ntriples``: JVM regexp structure
-parse (whole-stage codegen, one packed regex pass per line), Arrow crossing
-only for ``\\uXXXX`` literal bodies, and an exact Python fallback for lines
-carrying raw sentinel bytes.
+the same architecture as ``rdf_io.parse_ntriples``: a split-union plan
+whose clean branch is 100% JVM (whole-stage codegen, one packed regex pass
+per line), with lines carrying raw sentinel bytes or ``\\u``/``\\U``
+escapes routed whole to an exact Arrow-batched Python parser.
 
 Scope — honest and documented: **line-oriented Turtle**, i.e. the form our
 own ``functions/formats.ttl_line`` renderer emits plus the common
@@ -223,15 +223,41 @@ def _expand_pname(col: Column, prefixes: dict[str, str]) -> Column:
     return F.concat(ns, local)
 
 
-def ttl_statement_columns(
-    line: Column, prefixes: dict[str, str]
-) -> dict[str, Column]:
-    """The six statement columns (+ ``_matched``) for one Turtle statement
-    line, as pure column expressions. Shared by :func:`parse_turtle` and
-    the TriG block parser."""
+def ttl_packed_parts(line: Column) -> Column:
+    """ONE packed-regex pass over a statement line → the 3-part split
+    array. Project this into its OWN named column before building the
+    statement columns: the ``_STMT_PATTERN`` alternation is the expensive
+    evaluation, filter predicates get no common-subexpression sharing, and
+    Catalyst substitutes projected aliases into pushed-down predicates —
+    so every consumer must reference the ATTRIBUTE, never the expression
+    (the same discipline as ``word_ngrams``' token array)."""
     sep = "\x01"
     packed = F.regexp_replace(line, _STMT_PATTERN, f"$1{sep}$2{sep}$3")
-    parts = F.split(packed, sep)
+    return F.split(packed, sep)
+
+
+def ttl_statement_columns(
+    line: Column, prefixes: dict[str, str], parts: Column | None = None
+) -> dict[str, Column]:
+    """The six statement columns (+ UDF-free ``_ok``) for one Turtle
+    statement line, as PURE column expressions — zero Python, zero Arrow.
+    Shared by :func:`parse_turtle` and the TriG block parser.
+
+    ``parts`` should be a pre-projected :func:`ttl_packed_parts` ATTRIBUTE
+    (see its docstring); when omitted the pack is inlined, which is only
+    acceptable for single-projection consumers.
+
+    CONTRACT: callers must route lines carrying raw ``\\x01``/``\\x02``
+    sentinel bytes OR ``\\u``/``\\U`` escapes to the exact-Python assist
+    branch (``_ttl_fallback_udf``) — the replace-chain here handles every
+    ECHAR but not numeric escapes, and the sentinels would corrupt the
+    packed split. This is the same routing contract as
+    ``rdf_io.parse_ntriples``; keeping the Arrow unescape out of this
+    expression tree is what keeps the clean branch whole-stage-codegen
+    (an embedded always-on pandas UDF measured 17-61s vs ~6s on the
+    905k-line parse)."""
+    if parts is None:
+        parts = ttl_packed_parts(line)
     matched = F.size(parts) == 3
     s_raw = F.get(parts, 0)
     p_raw = F.get(parts, 1)
@@ -263,8 +289,9 @@ def ttl_statement_columns(
         is_quoted, F.regexp_extract(o_raw, _QUOTED_CAP, 1)
     ).otherwise("")
     # ECHAR unescape: sentinel the escaped backslashes first (ordering bug
-    # otherwise), then the named escapes, restore; \u/\U bodies alone cross
-    # Arrow — identical machinery to parse_ntriples, Turtle-extended table
+    # otherwise), then the named escapes, restore — identical machinery to
+    # parse_ntriples, Turtle-extended table. \u/\U bodies never reach this
+    # expression (routing contract above).
     sent = "\x02"
     step1 = F.replace(body_raw, F.lit("\\\\"), F.lit(sent))
     echar = step1
@@ -273,20 +300,7 @@ def ttl_statement_columns(
         ('"', '"'), ("'", "'"),
     ):
         echar = F.replace(echar, F.lit("\\" + raw), F.lit(esc))
-    sql_unescaped = F.replace(echar, F.lit(sent), F.lit("\\"))
-    has_unicode = step1.contains("\\u") | step1.contains("\\U")
-
-    @F.pandas_udf("string")
-    def _unescape_bodies(s: pd.Series) -> pd.Series:
-        mask = s.notna()
-        if mask.any():
-            s = s.copy()
-            s[mask] = s[mask].map(_unescape_ttl)
-        return s
-
-    body = F.coalesce(
-        _unescape_bodies(F.when(has_unicode, body_raw)), sql_unescaped
-    )
+    body = F.replace(echar, F.lit(sent), F.lit("\\"))
 
     lang = F.when(
         is_quoted,
@@ -308,11 +322,12 @@ def ttl_statement_columns(
     # whole statement is malformed, matching the Python twin
     dt_bad = is_quoted & dt_pname.isNotNull() & dt.isNull()
 
+    obj_pname = _expand_pname(o_raw, prefixes)
     obj_value = (
         F.when(is_iri, unbracket(o_raw))
         .when(is_bnode | is_bool | is_int | is_dec | is_dbl, o_raw)
         .when(is_quoted, body)
-        .otherwise(_expand_pname(o_raw, prefixes))
+        .otherwise(obj_pname)
     )
     obj_kind = (
         F.when(is_iri, "iri")
@@ -327,11 +342,21 @@ def ttl_statement_columns(
         .when(is_dec, F.lit(XSD_DECIMAL))
         .when(is_dbl, F.lit(XSD_DOUBLE))
     )
+    # validity WITHOUT touching obj_value: the quoted-literal body is a
+    # coalesce over a never-NULL replace chain, so the only NULLable object
+    # spelling is an undeclared-prefix pname — testing obj_value directly
+    # would drag the body's \u-unescape PANDAS UDF into every consumer of
+    # `ok` (filters included: a Python UDF in a predicate plans an extra
+    # ArrowEvalPython pass — measured 70s vs 6s on the 905k-line parse)
+    obj_ok = (
+        is_iri | is_bnode | is_quoted | is_bool | is_int | is_dec | is_dbl
+        | obj_pname.isNotNull()
+    )
     ok = (
         matched
         & subj.isNotNull()
         & pred.isNotNull()
-        & obj_value.isNotNull()
+        & obj_ok
         & ~dt_bad
     )
     return {
@@ -341,6 +366,7 @@ def ttl_statement_columns(
         "obj_kind": F.when(ok, obj_kind),
         "obj_lang": F.when(ok & is_quoted, lang),
         "obj_datatype": F.when(ok, obj_datatype),
+        "_ok": ok,  # UDF-free — branch filters use this, never obj_kind
     }
 
 
@@ -357,49 +383,101 @@ def parse_turtle(
     cheap filtered collect over directive-shaped lines). Blank, comment and
     directive lines are consumed; anything else unparseable lands in the
     malformed bucket (``obj_kind`` NULL, raw line in ``obj_value``) and is
-    dropped unless ``keep_malformed``."""
+    dropped unless ``keep_malformed``.
+
+    Same split-union architecture as ``rdf_io.parse_ntriples`` (round-4 —
+    previously a per-column ``when(has_ctl, fb).otherwise(cols)`` coalesce
+    kept an always-on NULL-fed ArrowEvalPython stage over EVERY line;
+    measured ~30s vs ~6s for 905k lines at local[32]): the clean branch
+    (no raw sentinel bytes — in practice everything) is 100% JVM, the
+    assist branch routes whole lines through the exact Python twin, and an
+    always-true nondeterministic guard keeps Catalyst from duplicating an
+    expensive upstream into both branch filters.
+
+    CALLER CONTRACT — feed MATERIALIZED lines (a file scan, a checkpoint,
+    a cache), which is what real ingestion looks like. A live multi-branch
+    producer plan (e.g. a render union) is NOT safe to feed directly:
+    ``PushProjectionThroughUnion`` clones the assist branch's Python UDF
+    into every producer branch and constraint inference re-derives
+    deterministic copies of the filters below any guard — measured 5×
+    inflation parsing straight off an 18-branch render union. Checkpoint
+    the producer first."""
     if prefixes is None:
         prefixes = extract_prefixes(lines, line_col)
 
     line = F.col(line_col)
     stripped = F.trim(line)
+    fallback = _ttl_fallback_udf(prefixes)
 
+    # assist routing per the ttl_statement_columns contract: raw sentinel
+    # bytes AND \u/\U escapes take the exact-Python branch
+    needs_py = (
+        line.contains("\x01") | line.contains("\x02")
+        | line.contains("\\u") | line.contains("\\U")
+    )
+    # nondeterministic guard FIRST (see rdf_io.parse_ntriples): without it
+    # every deterministic predicate here — including the directive rlike —
+    # pushes below an upstream union/exchange and re-evaluates per
+    # upstream branch (measured 38-61s vs ~7s on the 905k-line rendered
+    # input, whose fixture producer is an 18-branch union)
+    nd_guard = F.rand(7) > F.lit(-1.0)
+    base = lines.filter(
+        nd_guard
+        & (stripped != "")
+        & ~stripped.startswith("#")
+        & ~stripped.rlike(_DIRECTIVE_FILTER)
+    )
+    # Two-step clean branch: the expensive packed-regex split is projected
+    # ONCE into an attribute; every statement column and the malformed
+    # filter reference the attribute. The guard COLUMN rides in the same
+    # projection so the filter's predicate stays nondeterministic-derived
+    # and can never be substituted below the projection (which would
+    # re-inline the pack into the predicate — filter predicates get no
+    # subexpression sharing; measured 33s vs ~7s).
+    step = base.filter(~needs_py).select(
+        line.alias("_l"),
+        (F.rand(17) > F.lit(-1.0)).alias("_g"),
+        ttl_packed_parts(line).alias("_parts"),
+    )
+    cols = ttl_statement_columns(
+        F.col("_l"), prefixes, parts=F.col("_parts")
+    )
+    out_cols = (
+        "subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"
+    )
+    if not keep_malformed:
+        step = step.filter(F.col("_g") & cols["_ok"])
+    clean = step.select(*[cols[c].alias(c) for c in out_cols])
+    assist = (
+        base.filter(needs_py)
+        .select(fallback(line).alias("_p"))
+        .select("_p.*")
+    )
+    if not keep_malformed:
+        # the assist side filters the ArrowEvalPython OUTPUT attribute —
+        # never re-runs the UDF
+        assist = assist.filter(F.col("obj_kind").isNotNull())
+    return clean.unionByName(assist)
+
+
+def _ttl_fallback_udf(prefixes: dict[str, str]):
+    """Arrow-batched exact-Python statement parser (sentinel-byte assist
+    branch of :func:`parse_turtle` / :func:`parse_trig`)."""
     @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
     def _parse_fallback(s: pd.Series) -> pd.DataFrame:
-        cols = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
-                "obj_datatype"]
+        names = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
+                 "obj_datatype"]
         mask = s.notna()
-        out = pd.DataFrame(None, index=s.index, columns=cols, dtype=object)
+        out = pd.DataFrame(None, index=s.index, columns=names, dtype=object)
         if mask.any():
             out.loc[mask] = pd.DataFrame(
                 [_parse_one_ttl(x, prefixes) for x in s[mask]],
-                columns=cols,
+                columns=names,
                 index=s.index[mask],
             )
         return out
 
-    has_ctl = line.contains("\x01") | line.contains("\x02")
-    fb = _parse_fallback(F.when(has_ctl, line))
-    cols = ttl_statement_columns(line, prefixes)
-    parsed = (
-        lines.filter(
-            (stripped != "")
-            & ~stripped.startswith("#")
-            & ~stripped.rlike(_DIRECTIVE_FILTER)
-        )
-        .select(
-            *[
-                F.when(has_ctl, fb[c]).otherwise(cols[c]).alias(c)
-                for c in (
-                    "subj", "pred", "obj_value", "obj_kind", "obj_lang",
-                    "obj_datatype",
-                )
-            ]
-        )
-    )
-    if keep_malformed:
-        return parsed
-    return parsed.filter(F.col("obj_kind").isNotNull())
+    return _parse_fallback
 
 
 # ---------------------------------------------------------------------------
@@ -755,48 +833,54 @@ def parse_trig(
             "graph", F.last("_hdr", ignorenulls=True).over(w)
         )
         .filter(
-            F.col("_hdr").isNull()
+            # guard-first: keeps these predicates (and the branch filters
+            # above) from pushing below the per-document explode
+            (F.rand(13) > F.lit(-1.0))
+            & F.col("_hdr").isNull()
             & (F.trim("_line") != "")
             & (F.trim("_line") != "}")
             & ~F.trim("_line").startswith("#")
             & ~F.trim("_line").rlike(_DIRECTIVE_FILTER)
         )
     )
-    # Sentinel-byte fallback, same routing as parse_turtle: the JVM
-    # replace-chain in ttl_statement_columns uses \x01/\x02 internally, so
-    # a literal carrying either raw byte (legal inside Turtle quoted
-    # strings) must take the exact-Python path instead of silently
-    # corrupting (\x02 → '\\') or landing in the malformed bucket (\x01).
+    # Sentinel-byte fallback, same split-union routing as parse_turtle:
+    # the JVM replace-chain in ttl_statement_columns uses \x01/\x02
+    # internally, so a literal carrying either raw byte (legal inside
+    # Turtle quoted literals) must take the exact-Python path instead of
+    # silently corrupting (\x02 → '\\') or landing in the malformed
+    # bucket (\x01). The clean branch never touches Python; the malformed
+    # drop uses the UDF-free validity expression (see parse_turtle).
     line = F.col("_line")
-    has_ctl = line.contains("\x01") | line.contains("\x02")
-
-    @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
-    def _parse_fallback(s: pd.Series) -> pd.DataFrame:
-        names = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
-                 "obj_datatype"]
-        mask = s.notna()
-        out = pd.DataFrame(None, index=s.index, columns=names, dtype=object)
-        if mask.any():
-            out.loc[mask] = pd.DataFrame(
-                [_parse_one_ttl(x, prefixes) for x in s[mask]],
-                columns=names,
-                index=s.index[mask],
-            )
-        return out
-
-    fb = _parse_fallback(F.when(has_ctl, line))
-    cols = ttl_statement_columns(line, prefixes)
-    parsed = exploded.select(
+    needs_py = (
+        line.contains("\x01") | line.contains("\x02")
+        | line.contains("\\u") | line.contains("\\U")
+    )
+    fallback = _ttl_fallback_udf(prefixes)
+    out_cols = (
+        "subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"
+    )
+    # same two-step discipline as parse_turtle: pack once into an
+    # attribute, guard column blocks predicate substitution
+    step = exploded.filter(~needs_py).select(
         *carry_cols,
         "graph",
-        *[
-            F.when(has_ctl, fb[c]).otherwise(cols[c]).alias(c)
-            for c in (
-                "subj", "pred", "obj_value", "obj_kind", "obj_lang",
-                "obj_datatype",
-            )
-        ],
+        line.alias("_l"),
+        (F.rand(17) > F.lit(-1.0)).alias("_g"),
+        ttl_packed_parts(line).alias("_parts"),
     )
-    if keep_malformed:
-        return parsed
-    return parsed.filter(F.col("obj_kind").isNotNull())
+    cols = ttl_statement_columns(
+        F.col("_l"), prefixes, parts=F.col("_parts")
+    )
+    if not keep_malformed:
+        step = step.filter(F.col("_g") & cols["_ok"])
+    clean = step.select(
+        *carry_cols, "graph", *[cols[c].alias(c) for c in out_cols]
+    )
+    assist = (
+        exploded.filter(needs_py)
+        .select(*carry_cols, "graph", fallback(line).alias("_p"))
+        .select(*carry_cols, "graph", "_p.*")
+    )
+    if not keep_malformed:
+        assist = assist.filter(F.col("obj_kind").isNotNull())
+    return clean.unionByName(assist)
