@@ -137,3 +137,36 @@ def fingerprints(
         .select("id", "fingerprint")
         .distinct()
     )
+
+
+def clean_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    lang: str = "en",
+) -> DataFrame:
+    """The canonical pre-training corpus filter chain, composed from the
+    operators above: exact-content dedup (min-id representative survives)
+    → quality gate → language gate.
+
+    Plan shape at scale: one map-side-combinable md5 groupBy + one semi
+    join for the dedup, then pure codegen'd column expressions — no
+    additional shuffle for scoring or language id. Returns surviving
+    ``(id_col, lang_pred, n_tokens, quality_score)`` rows.
+    """
+    from .dedup import exact_dedup
+
+    reps = (
+        exact_dedup(df, id_col, text_col)
+        .filter(F.col("id") == F.col("rep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    kept = df.join(reps, id_col, "left_semi")
+    scored = quality_features(kept, text_col).withColumn(
+        "lang_pred", lang_id(F.col(text_col))
+    )
+    return scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("lang_pred") == lang)
+    ).select(id_col, "lang_pred", "n_tokens", "quality_score")

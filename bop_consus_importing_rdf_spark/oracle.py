@@ -720,6 +720,16 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training corpus filter chain (exact dedup →
+    quality gate → language gate) — oracle = the same three stages as one
+    DuckDB statement."""
+    from .operators.textstats import clean_corpus
+    from .sources.catalog import load_table
+
+    return clean_corpus(load_table(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import lang_id
     from .sources.catalog import load_table
@@ -1511,6 +1521,39 @@ ORACLES: dict[str, str] = {
         "+ (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 "
         "   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality_score FROM r"
     ),
+    "corpus_clean": (
+        "WITH h AS (SELECT doc_id AS id, md5(text) AS m FROM documents), "
+        "reps AS (SELECT m, min(id) AS rep_id FROM h GROUP BY m), "
+        "keep AS (SELECT h.id AS doc_id FROM h "
+        "  JOIN reps r ON r.m = h.m AND h.id = r.rep_id), "
+        "f AS (SELECT d.doc_id, "
+        "  length(d.text) AS n_chars, "
+        "  CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+        "  len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens, "
+        "  length(d.text) - "
+        "  length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS n_punct, "
+        + _sql_marker_hits("d.text", LANG_MARKERS["en"])
+        + " AS stop_hits, "
+        "  length(regexp_replace(d.text, '\\s+', '', 'g')) AS n_nospace, "
+        + _sql_lang_id("d.text")
+        + " AS lang_pred "
+        "FROM documents d JOIN keep k ON k.doc_id = d.doc_id), "
+        "r AS (SELECT doc_id, lang_pred, cast(n_tokens AS bigint) AS n_tokens, "
+        "  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END "
+        "  AS punct_ratio, "
+        "  CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END "
+        "  AS stopword_ratio, "
+        "  CASE WHEN n_tokens > 0 THEN n_nospace / n_tokens ELSE 0.0 END "
+        "  AS mean_word_len FROM f), "
+        "s AS (SELECT doc_id, lang_pred, n_tokens, "
+        "  least(n_tokens / 100.0, 1.0) * 0.25 "
+        "  + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 "
+        "  + least(stopword_ratio * 5, 1.0) * 0.25 "
+        "  + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 "
+        "     THEN 1.0 ELSE 0.0 END) * 0.25 AS quality_score FROM r) "
+        "SELECT doc_id, lang_pred, n_tokens, quality_score FROM s "
+        "WHERE quality_score >= 0.6 AND lang_pred = 'en'"
+    ),
     "fingerprints": (
         "WITH g AS (SELECT id, pos, md5(substring(t, pos, 7)) AS gram_hash "
         "FROM (SELECT doc_id AS id, t, "
@@ -1806,6 +1849,7 @@ SPARK_QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
+    "corpus_clean": q_corpus_clean,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "cosine_topk": q_cosine_topk,

@@ -69,3 +69,29 @@ def test_fingerprints_overlap_tracks_similarity(spark):
     }
     assert sets[1] == sets[2]
     assert len(sets[1] & sets[3]) / len(sets[1] | sets[3]) < 0.1
+
+
+def test_clean_corpus_chain(spark):
+    from bop_consus_importing_rdf_spark.operators.textstats import (
+        clean_corpus,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then walks home "
+        "with a friend of the family to have dinner and talk about things "
+        "that happened in the town during the long warm summer evening"
+    )
+    rows = [
+        (1, good),
+        (2, good),                 # exact duplicate — only doc 1 survives
+        (3, "!!! ??? ### $$$ %%%"),  # punctuation soup — quality gate
+        (4, "le chat et le chien sont dans la maison avec les amis et "
+            "ils mangent le pain dans la cuisine pendant que la famille "
+            "regarde les oiseaux dans le jardin " * 2),  # French — lang gate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = clean_corpus(docs)
+    got = {r.doc_id: r for r in out.collect()}
+    assert set(got) == {1}
+    assert got[1].lang_pred == "en"
+    assert got[1].quality_score >= 0.6
