@@ -57,3 +57,57 @@ def test_nt_line_parses_back(s):
     subj, pred, obj, kind, lang, dt = _parse_one(line)
     assert (subj, pred, kind) == ("urn:s", "urn:p", "literal")
     assert obj == s
+
+
+# ---------------------------------------------------------------------------
+# Turtle statement re-assembly (round 4): hypothesis over grouped documents
+# ---------------------------------------------------------------------------
+
+def _ttl_escape_short(s: str) -> str:
+    for raw, esc in [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"),
+                     ("\r", "\\r"), ("\t", "\\t")]:
+        s = s.replace(raw, esc)
+    return s
+
+
+def _ttl_escape_long(s: str) -> str:
+    # long-string form: backslash and double quote escaped, newlines raw
+    return s.replace("\\", "\\\\").replace('"', '\\"')
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_roundtrip_property(lits):
+    """A grouped multi-line document (`;` predicate list + `,` object list
+    + triple-quoted strings for newline-carrying literals) re-assembles
+    into statements that parse back to the original literal values."""
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _parse_one_ttl,
+        _split_statements,
+    )
+
+    objs = []
+    for s in lits:
+        if "\n" in s or "\r" in s:
+            objs.append(f'"""{_ttl_escape_long(s)}"""')
+        else:
+            objs.append(f'"{_ttl_escape_short(s)}"')
+    doc = (
+        "<urn:s> <urn:p:list> "
+        + " ,\n    ".join(objs)
+        + " ;\n  <urn:p:last> <urn:o> .\n"
+    )
+    stmts = _split_statements(doc)
+    parsed = [_parse_one_ttl(x, {}) for x in stmts]
+    assert all(p[3] is not None for p in parsed), (stmts, parsed)
+    got_lits = [p[2] for p in parsed if p[1] == "urn:p:list"]
+    assert got_lits == lits
+    assert parsed[-1][:3] == ("urn:s", "urn:p:last", "urn:o")
