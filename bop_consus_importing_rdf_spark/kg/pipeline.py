@@ -160,7 +160,11 @@ def extract_candidate_triples(
     # — without persistence the extraction subtree (4 regex passes over the
     # corpus text) would execute twice (MEMORY_AND_DISK: spills rather than
     # OOMs; at cluster scale the resume layer's bucket parquet plays this
-    # role instead)
+    # role instead). RETENTION: the blocks live until the session clears
+    # its cache (bench.py does so between phases; long-lived sessions
+    # calling build_kg repeatedly should too) — a lazy persist is kept on
+    # this DEFAULT hot path because the eager-checkpoint alternative costs
+    # a separate materialization job before the first consumer.
     with_m = turns.withColumn(
         "_mr",
         extract_mentions_and_relations(
@@ -250,7 +254,13 @@ def extract_candidate_triples_join(
             ).alias("_mentions"),
             extract_relation_candidates(F.col("text")).alias("_relc"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint, not persist (ADVICE r4): four branches consume
+        # this subtree, so it must materialize once — but a persist here
+        # would pin executor blocks for the session (the caller can't
+        # unpersist a frame buried inside the returned union's lineage).
+        # Checkpoint blocks are reclaimed by the ContextCleaner when the
+        # frame is garbage-collected; no manual bookkeeping leaks.
+        .localCheckpoint()
     )
 
     turn_uri = _turn_uri()

@@ -29,9 +29,13 @@ where the caller supplies the operator's explode/compute amplification:
   of magnitude cheaper than running the exploded stage starved.
 
 Plans whose size statistic is unknown (Long.MaxValue sentinel — e.g.
-``createDataFrame`` local relations under default config) take the
-first branch and are left untouched: unit-test fixtures are tiny, and
-real corpora arrive as file scans with accurate stats.
+checkpointed/RDD-backed frames, ``createDataFrame`` local relations
+under default config) fall back to a physical partition-count probe
+(``df.rdd.getNumPartitions()``) and are repartitioned only when below
+the session default parallelism: paying one planning pass there beats
+silently re-introducing the 2-core starvation on exactly the resume
+layer's checkpointed inputs. The no-physical-planning guarantee holds
+for every plan Catalyst CAN size — i.e. all real file-scan corpora.
 """
 
 from __future__ import annotations

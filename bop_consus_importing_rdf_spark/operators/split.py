@@ -38,6 +38,7 @@ def split_datasets(
     triples: DataFrame,
     remove_prefix: bool = False,
     precedence_uri_ref: bool = False,
+    input_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Split a triple table into per-dataset subgraphs.
 
@@ -47,16 +48,29 @@ def split_datasets(
       owning dataset subject URI), after nested-catalogue subtraction;
     - ``datasets``: ``(subj, identifier)`` — one row per non-blank-id,
       non-empty dataset (F3 + F4 applied).
+
+    ``input_materialized=True`` declares that ``triples`` is already a
+    durable materialization — the bucketed-by-``subj`` table the
+    production harvest lands (``harvest.py``), or any parquet scan — so
+    the defensive input persist is skipped: every consumer re-reads the
+    (column-pruned, predicate-pushed) scan instead of filling an
+    executor-memory copy first, and a bucketed scan keeps its
+    exchange-free subj distribution all the way into the subgraph probe
+    join. This is the 100-TB calling convention; the persist branch exists
+    for ad-hoc in-memory inputs.
     """
-    # F1 first (before the scan). Persist WITHOUT repartitioning: the
-    # closure loop probes its own slim edge cache (closure.py), so nothing
-    # left here exploits a subj hash partitioning — the subgraph SMJ
-    # exchanges t exactly once either way, and a pre-emptive
-    # repartition(subj) measured as a pure ~10s loss at sf0.1
-    # (MEMORY_AND_DISK: spills instead of OOM at scale)
-    t = remove_lowercase_dataset_typo(triples).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if input_materialized:
+        t = remove_lowercase_dataset_typo(triples)
+    else:
+        # F1 first (before the scan). Persist WITHOUT repartitioning: the
+        # closure loop probes its own slim edge cache (closure.py), so
+        # nothing left here exploits a subj hash partitioning — the
+        # subgraph SMJ exchanges t exactly once either way, and a
+        # pre-emptive repartition(subj) measured as a pure ~10s loss at
+        # sf0.1 (MEMORY_AND_DISK: spills instead of OOM at scale)
+        t = remove_lowercase_dataset_typo(triples).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
 
     subjects = dataset_subjects(t)  # F2
     # checkpointed: feeds both the closure seeds and the final F4 semi-join

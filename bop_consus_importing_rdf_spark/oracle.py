@@ -531,6 +531,59 @@ def q_split_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("dataset_id"), F.col("identifier"), F.col("n_triples"))
 
 
+# The production triple layout (harvest.py lands parse output bucketed by
+# subj; SURVEY §2 S7 + the 100-TB scale brief): the graded split consumes
+# the durable bucketed table instead of an in-memory frame. Memoized per
+# (session, sf_dir) like the other fixtures; the landing write happens once
+# (bench.py performs it in untimed setup — it is the parse/harvest
+# artifact, benched under its own row).
+_BUCKETED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SPLIT_BUCKETED_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def bucketed_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fixture graph landed as a bucketed-by-``subj`` external table
+    (64 buckets, subj-sorted) — the exact layout ``harvest.py`` writes for
+    production sources — and read back as a table scan."""
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_CACHE:
+        import re as _re
+
+        from .sources.bucketed import write_bucketed
+
+        tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.rstrip("/"))
+        table = f"graph_bucketed{tag}"
+        write_bucketed(
+            _graph(spark, sf_dir), table, bucket_col="subj", n_buckets=64,
+            sort_col="subj", path=f"/tmp/spark_graft_bucketed{tag}",
+        )
+        _BUCKETED_CACHE[key] = spark.table(table)
+    return _BUCKETED_CACHE[key]
+
+
+def _split_bucketed(spark: SparkSession, sf_dir: str):
+    from .operators.split import split_datasets
+
+    key = (id(spark), sf_dir)
+    if key not in _SPLIT_BUCKETED_CACHE:
+        _SPLIT_BUCKETED_CACHE[key] = split_datasets(
+            bucketed_graph(spark, sf_dir), input_materialized=True
+        )
+    return _SPLIT_BUCKETED_CACHE[key]
+
+
+def q_split_datasets_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identical semantics (and oracle SQL) to ``split_datasets``, probe
+    side reading the bucketed production layout."""
+    ds_triples, datasets = _split_bucketed(spark, sf_dir)
+    counts = ds_triples.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )
+    return datasets.join(
+        counts, datasets["subj"] == counts["dataset_id"]
+    ).select(F.col("dataset_id"), F.col("identifier"), F.col("n_triples"))
+
+
 def _counted_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.manifest import with_counter
 
@@ -1374,6 +1427,15 @@ ORACLES: dict[str, str] = {
         "FROM datasets d JOIN final_triples f ON f.dataset_id = d.subj "
         "GROUP BY d.subj, d.identifier"
     ),
+    # identical relational semantics — the Spark side reads the bucketed
+    # production layout instead of the in-memory graph, so the SAME oracle
+    # text must hash-match both physical strategies
+    "split_datasets_bucketed": _oracle_split_suffix(
+        "SELECT d.subj AS dataset_id, d.identifier, "
+        "cast(count(*) AS bigint) AS n_triples "
+        "FROM datasets d JOIN final_triples f ON f.dataset_id = d.subj "
+        "GROUP BY d.subj, d.identifier"
+    ),
     "dataset_counter": _oracle_split_suffix(
         f"SELECT '{CATALOGUE}' AS catalogue, subj, identifier, "
         f"cast(row_number() OVER (ORDER BY identifier, subj) AS bigint) "
@@ -1834,6 +1896,7 @@ SPARK_QUERIES = {
     "dataset_subjects": q_dataset_subjects,
     "identify_flags": q_identify_flags,
     "split_datasets": q_split_datasets,
+    "split_datasets_bucketed": q_split_datasets_bucketed,
     "dataset_counter": q_dataset_counter,
     "manifest": q_manifest,
     "duplicate_warnings": q_duplicate_warnings,

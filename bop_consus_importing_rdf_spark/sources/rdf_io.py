@@ -32,6 +32,49 @@ PARSED_SCHEMA = (
     "obj_lang string, obj_datatype string"
 )
 
+#: analyzed-plan node markers whose presence makes a LIVE producer unsafe
+#: to feed a split-union parser (see ``ensure_materialized``): a Union gets
+#: every branch filter pushed into every producer branch
+#: (PushProjectionThroughUnion clones the assist ArrowEvalPython per
+#: branch — measured 5× plan inflation off an 18-branch render union), and
+#: a Python-eval producer (pandas UDF / mapInPandas) re-executes once per
+#: consuming branch because nothing materializes between them.
+_RISKY_PRODUCER_MARKERS = (
+    "Union",
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonUDF",
+)
+
+
+def ensure_materialized(df: DataFrame) -> DataFrame:
+    """Structural enforcement of the parsers' caller contract (round-4 it
+    was docstring-only): a split-union parser must be fed MATERIALIZED
+    lines — a file scan, a cache, a checkpoint — never a live multi-branch
+    or Python-producer plan, or Catalyst clones the assist-branch UDF into
+    every producer branch and constraint inference pushes deterministic
+    predicate copies below any nondeterministic guard (the only real
+    barriers are cache/checkpoint/exchange materialization).
+
+    Cheap detection, no physical planning: already-persisted frames pass
+    through; otherwise the CACHED-SUBSTITUTED analyzed plan (cached
+    subtrees already replaced by InMemoryRelation, so a live view over a
+    cached graph counts as materialized) is scanned for union/Python-eval
+    markers. Clean plans — file scans, LocalRelation fixtures, checkpoint
+    RDDs, projections over caches — pass through untouched; risky ones are
+    ``localCheckpoint``-ed eagerly (blocks are reclaimed by the
+    ContextCleaner once the frame is garbage-collected, so no manual
+    unpersist bookkeeping leaks across a long session)."""
+    sl = df.storageLevel
+    if sl.useMemory or sl.useDisk:
+        return df
+    plan = df._jdf.queryExecution().withCachedData().toString()
+    if any(marker in plan for marker in _RISKY_PRODUCER_MARKERS):
+        return df.localCheckpoint()
+    return df
+
 _NT_LINE = re.compile(
     r"^\s*(?P<subj><[^>]*>|_:\S+)\s+"
     r"<(?P<pred>[^>]*)>\s+"
@@ -84,17 +127,37 @@ def read_rdf_source(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.text(path)
 
 
-def pre_process(line: Column) -> Column:
-    """S4: fix-ups before parse — BOM strip, control chars (except tab),
-    raw spaces inside IRI brackets → %20."""
-    c = F.regexp_replace(line, "﻿", "")
-    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+def pre_process_controls(text: Column) -> Column:
+    """S4, document-safe half: BOM strip + control chars (except tab).
+    Character-local, so safe on whole multi-statement documents."""
+    c = F.regexp_replace(text, "﻿", "")
+    return F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+
+
+def pre_process_iri_spaces(line: Column) -> Column:
+    """S4, line-scoped half: raw spaces inside IRI brackets → %20.
+
+    LINE-oriented by design: ``(<[^> ]*) ([^>]*>)`` pairs the nearest
+    ``<``/``>`` — across a whole multi-statement document it can pair a
+    ``<`` inside one literal with a ``>`` in a later IRI and rewrite
+    literal content across statement boundaries (ADVICE r4). Apply it to
+    single statements/lines only; ``harvest.py`` runs it AFTER Turtle
+    statement re-assembly and per physical line for TriG."""
+    c = line
     # iteratively %-encode spaces inside <...>: one pass handles one space;
     # three passes cover the pathological cases the reference's
     # preProcessing flag exists for
     for _ in range(3):
         c = F.regexp_replace(c, r"(<[^> ]*) ([^>]*>)", r"$1%20$2")
     return c
+
+
+def pre_process(line: Column) -> Column:
+    """S4: fix-ups before parse — BOM strip, control chars (except tab),
+    raw spaces inside IRI brackets → %20. For LINE-oriented input; see
+    :func:`pre_process_iri_spaces` for why whole documents must split the
+    two halves."""
+    return pre_process_iri_spaces(pre_process_controls(line))
 
 
 # Java-regex spelling of _NT_LINE (no named groups) for regexp_extract
@@ -161,7 +224,14 @@ def parse_ntriples(
     Malformed/comment/blank lines are dropped unless ``keep_malformed``
     (then returned with ``obj_kind`` NULL and the raw line in
     ``obj_value`` for lineage auditing).
+
+    CALLER CONTRACT, structurally enforced at entry: a live multi-branch
+    or Python-producer plan is auto-checkpointed by
+    :func:`ensure_materialized` (file scans / caches / checkpoints pass
+    through untouched) — see its docstring for the measured failure mode.
     """
+    lines = ensure_materialized(lines)
+
     @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
     def _parse_py(s: pd.Series) -> pd.DataFrame:
         cols = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
@@ -169,6 +239,11 @@ def parse_ntriples(
         return pd.DataFrame(
             [_parse_one(x) for x in s], columns=cols, index=s.index
         )
+
+    # plan barrier, not semantics (see turtle_io._ttl_fallback_udf): keeps
+    # PushDownPredicates / constraint inference from substituting the UDF
+    # below its projection and planning a second ArrowEvalPython
+    _parse_py = _parse_py.asNondeterministic()
 
     line = F.col(line_col)
     stripped = F.trim(line)
@@ -267,14 +342,15 @@ def parse_ntriples(
         F.when(matched & ~is_iri & ~is_bnode, lang).alias("obj_lang"),
         F.when(matched & ~is_iri & ~is_bnode, dt).alias("obj_datatype"),
     )
-    assist = (
-        base.filter(needs_py)
-        .select(*carry, _parse_py(line).alias("_p"))
-        .select(*carry, "_p.*")
-    )
-    if keep_malformed:
-        return clean.unionByName(assist)
-    return clean.unionByName(assist.filter(F.col("obj_kind").isNotNull()))
+    # struct-attribute filter BEFORE field expansion: filtering the
+    # expanded obj_kind column lets CollapseProject substitute the UDF into
+    # the predicate and plan a SECOND ArrowEvalPython that re-runs the
+    # parser just for the malformed drop (round-5 contract-test finding)
+    assist = base.filter(needs_py).select(*carry, _parse_py(line).alias("_p"))
+    if not keep_malformed:
+        assist = assist.filter(F.col("_p.obj_kind").isNotNull())
+    assist = assist.select(*carry, "_p.*")
+    return clean.unionByName(assist)
 
 
 # N-Quads = N-Triples + optional graph label (IRI or bnode) before the dot.

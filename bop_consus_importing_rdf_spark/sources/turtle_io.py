@@ -27,12 +27,23 @@ grammar — multi-line statements, ``;`` predicate-object lists, ``,``
 object lists, triple- and single-quoted strings, comments, SPARQL-style
 directives — into the single-line statement form above, so real-world
 ``.ttl`` dumps parse without the line-oriented restriction. ``harvest.py``
-routes ``.ttl`` sources through it.
+routes ``.ttl`` sources through it. Round 5 completed the grammar:
+blank-node property lists ``[...]`` (fresh deterministic labels, nested),
+collections ``(...)`` (``rdf:first``/``rdf:rest`` chains), and
+``@base``/``BASE`` with full RFC 3986 relative-IRI resolution (the
+document pass sees directives in order; ``base_iri`` mirrors the
+``baseUri`` argument of the reference's ``JenaUtils.read``,
+``Flows.kt:69``).
 
-Still NOT supported (loud, not silent): ``@base`` (raises — base-relative
-IRIs cannot be resolved without it), blank-node property lists ``[...]``
-and collections ``(...)``; such statements land in the malformed bucket
-for lineage counting, exactly like ``parse_ntriples``.
+Loud-failure policy (never silent): a relative IRI with no in-scope base
+raises (Jena always has the request address as base; a caller without one
+has genuinely unresolvable input); TriG braces inside a Turtle document
+and structurally invalid statements land in the malformed bucket for
+lineage counting, exactly like ``parse_ntriples``. The LINE-oriented
+:func:`parse_turtle` (not the document path) still rejects ``@base`` in
+``extract_prefixes`` — single lines carry no directive ordering, so
+resolution there would be a guess; route documents through
+:func:`parse_turtle_docs`.
 """
 
 from __future__ import annotations
@@ -130,8 +141,10 @@ def extract_prefixes(lines: DataFrame, line_col: str = "value") -> dict[str, str
         text = r[0]
         if _BASE_DIRECTIVE.match(text):
             raise ValueError(
-                "Turtle @base directive is not supported: relative IRIs "
-                f"cannot be resolved ({text.strip()!r})"
+                "Turtle @base directive in a LINE-oriented parse: single "
+                "lines carry no directive ordering, so base resolution "
+                "would be a guess — route whole documents through "
+                f"parse_turtle_docs, which resolves it ({text.strip()!r})"
             )
         m = _PREFIX_DIRECTIVE.match(text)
         if not m:
@@ -394,14 +407,18 @@ def parse_turtle(
     always-true nondeterministic guard keeps Catalyst from duplicating an
     expensive upstream into both branch filters.
 
-    CALLER CONTRACT — feed MATERIALIZED lines (a file scan, a checkpoint,
-    a cache), which is what real ingestion looks like. A live multi-branch
-    producer plan (e.g. a render union) is NOT safe to feed directly:
-    ``PushProjectionThroughUnion`` clones the assist branch's Python UDF
-    into every producer branch and constraint inference re-derives
-    deterministic copies of the filters below any guard — measured 5×
-    inflation parsing straight off an 18-branch render union. Checkpoint
-    the producer first."""
+    CALLER CONTRACT, structurally enforced at entry (round-5; previously
+    docstring-only): a live multi-branch producer plan (e.g. a render
+    union) or Python producer (e.g. ``normalize_turtle_docs``) is
+    auto-checkpointed by ``rdf_io.ensure_materialized`` — without the
+    barrier, ``PushProjectionThroughUnion`` clones the assist branch's
+    Python UDF into every producer branch and constraint inference
+    re-derives deterministic copies of the filters below any guard
+    (measured 5× inflation parsing straight off an 18-branch render
+    union). File scans / caches / checkpoints pass through untouched."""
+    from .rdf_io import ensure_materialized
+
+    lines = ensure_materialized(lines)
     if prefixes is None:
         prefixes = extract_prefixes(lines, line_col)
 
@@ -448,21 +465,29 @@ def parse_turtle(
     if not keep_malformed:
         step = step.filter(F.col("_g") & cols["_ok"])
     clean = step.select(*[cols[c].alias(c) for c in out_cols])
-    assist = (
-        base.filter(needs_py)
-        .select(fallback(line).alias("_p"))
-        .select("_p.*")
-    )
+    # the malformed drop filters the ArrowEvalPython OUTPUT struct BEFORE
+    # the field expansion: filtering after `.select("_p.*")` lets
+    # CollapseProject substitute the UDF into the predicate, planning a
+    # SECOND ArrowEvalPython that re-runs the parser just for the filter
+    # (observed in the round-5 contract-test plan)
+    assist = base.filter(needs_py).select(fallback(line).alias("_p"))
     if not keep_malformed:
-        # the assist side filters the ArrowEvalPython OUTPUT attribute —
-        # never re-runs the UDF
-        assist = assist.filter(F.col("obj_kind").isNotNull())
+        assist = assist.filter(F.col("_p.obj_kind").isNotNull())
+    assist = assist.select("_p.*")
     return clean.unionByName(assist)
 
 
 def _ttl_fallback_udf(prefixes: dict[str, str]):
     """Arrow-batched exact-Python statement parser (sentinel-byte assist
-    branch of :func:`parse_turtle` / :func:`parse_trig`)."""
+    branch of :func:`parse_turtle` / :func:`parse_trig`).
+
+    Marked nondeterministic (it isn't, semantically) as a PLAN BARRIER:
+    a deterministic UDF referenced by the malformed-drop filter gets
+    substituted below the output projection by PushDownPredicates — and
+    InferFiltersFromConstraints re-derives pushable isnotnull copies even
+    behind a nondeterministic guard conjunct — planning a SECOND
+    ArrowEvalPython that re-runs the parser per consumer. Nondeterminism
+    is the one property every such rule refuses to move or duplicate."""
     @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
     def _parse_fallback(s: pd.Series) -> pd.DataFrame:
         names = ["subj", "pred", "obj_value", "obj_kind", "obj_lang",
@@ -477,7 +502,7 @@ def _ttl_fallback_udf(prefixes: dict[str, str]):
             )
         return out
 
-    return _parse_fallback
+    return _parse_fallback.asNondeterministic()
 
 
 # ---------------------------------------------------------------------------
@@ -571,7 +596,15 @@ def _tokenize_ttl(text: str) -> Iterator[tuple[str, str]]:
                     if b % 2 == 0:
                         break
                     j = k + 1
-                body, i = text[i + 3:k], k + 3
+                # STRING_LITERAL_LONG grammar: a body may end with one or
+                # two unescaped quotes — the terminator is the LAST 3 of a
+                # quote run, so absorb up to two extra quotes into the body
+                # ("""abc"""" = body abc"). Without this, spec-legal input
+                # raised document-level 'unterminated string' (ADVICE r4).
+                absorb = 0
+                while absorb < 2 and k + 3 + absorb < n and text[k + 3 + absorb] == c:
+                    absorb += 1
+                body, i = text[i + 3:k + absorb], k + absorb + 3
                 lit = _requote(body)
             else:
                 j = i + 1
@@ -631,14 +664,169 @@ def _tokenize_ttl(text: str) -> Iterator[tuple[str, str]]:
         i = j
 
 
-def _split_statements(text: str) -> list[str]:
+# --- RFC 3986 relative-IRI resolution (for @base / BASE) -------------------
+#
+# Jena resolves every IRI in a Turtle document against the in-scope base
+# (the @base directive, else the request address passed as ``baseUri`` at
+# reference ``Flows.kt:69``). The algorithm below is RFC 3986 §5.2/§5.3
+# verbatim — merge paths + remove dot segments — with no scheme special
+# cases (IRIs, not URLs).
+
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+
+
+def _split_iri(iri: str):
+    """→ (scheme, authority, path, query, fragment); absent parts None."""
+    scheme, rest = None, iri
+    m = _SCHEME_RE.match(iri)
+    if m:
+        scheme, rest = m.group(0)[:-1], iri[m.end():]
+    fragment = None
+    if "#" in rest:
+        rest, fragment = rest.split("#", 1)
+    query = None
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    authority, path = None, rest
+    if rest.startswith("//"):
+        tail = rest[2:]
+        cut = tail.find("/")
+        authority, path = (tail, "") if cut < 0 else (tail[:cut], tail[cut:])
+    return scheme, authority, path, query, fragment
+
+
+def _remove_dot_segments(path: str) -> str:
+    inp, out = path, []
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            cut = inp.find("/", 1)
+            if cut < 0:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:cut])
+                inp = inp[cut:]
+    return "".join(out)
+
+
+def resolve_iri(base: str | None, ref: str) -> str:
+    """RFC 3986 §5.3 reference resolution; absolute refs pass through.
+
+    Raises (loud policy) on a relative ref with no base — the input is
+    genuinely unresolvable, the exact situation Jena avoids by always
+    receiving the request address as ``baseUri``."""
+    r_scheme, r_auth, r_path, r_query, r_frag = _split_iri(ref)
+    if r_scheme is not None:
+        parts = (r_scheme, r_auth, _remove_dot_segments(r_path), r_query)
+    else:
+        if base is None:
+            raise ValueError(
+                f"relative IRI <{ref}> with no in-scope base — add an "
+                "@base directive or pass base_iri (the reference passes "
+                "the request address, Flows.kt:69)"
+            )
+        b_scheme, b_auth, b_path, b_query, _ = _split_iri(base)
+        if r_auth is not None:
+            parts = (b_scheme, r_auth, _remove_dot_segments(r_path), r_query)
+        elif r_path == "":
+            parts = (
+                b_scheme, b_auth, b_path,
+                r_query if r_query is not None else b_query,
+            )
+        elif r_path.startswith("/"):
+            parts = (b_scheme, b_auth, _remove_dot_segments(r_path), r_query)
+        else:
+            if b_auth is not None and b_path == "":
+                merged = "/" + r_path
+            else:
+                cut = b_path.rfind("/")
+                merged = b_path[: cut + 1] + r_path if cut >= 0 else r_path
+            parts = (b_scheme, b_auth, _remove_dot_segments(merged), r_query)
+    scheme, auth, path, query = parts
+    out = f"{scheme}:" if scheme is not None else ""
+    if auth is not None:
+        out += "//" + auth
+    out += path
+    if query is not None:
+        out += "?" + query
+    if r_frag is not None:
+        out += "#" + r_frag
+    return out
+
+
+# --- statement expansion ---------------------------------------------------
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_RDF_FIRST = f"<{_RDF_NS}first>"
+_RDF_REST = f"<{_RDF_NS}rest>"
+_RDF_NIL = f"<{_RDF_NS}nil>"
+#: fresh blank-node labels synthesized for ``[...]`` / ``(...)``. The
+#: prefix is distinctive and guarded: a document that already uses it
+#: raises loudly (silent label collision would merge unrelated bnodes).
+_GEN_BNODE_PREFIX = "_:tgen"
+_GEN_BNODE_GUARD = re.compile(r"_:tgen\d")
+
+
+class _StmtError(Exception):
+    """Structurally invalid statement — collapses to one malformed line."""
+
+
+def _resolve_tok(kind: str, tok: str, base: str | None) -> str:
+    """Resolve the IRI content of a token against the in-scope base.
+
+    Applies to ``<...>`` tokens and to a STRING token's trailing
+    ``^^<datatype>`` suffix (the suffix is always terminal, so the last
+    ``^^<`` is unambiguous). Absolute IRIs pass through untouched."""
+    if kind == "IRI":
+        body = tok[1:-1]
+        if _SCHEME_RE.match(body):
+            return tok
+        return "<" + resolve_iri(base, body) + ">"
+    if kind == "STRING" and tok.endswith(">") and "^^<" in tok:
+        cut = tok.rindex("^^<")
+        dt = tok[cut + 3:-1]
+        if _SCHEME_RE.match(dt):
+            return tok
+        return tok[:cut] + "^^<" + resolve_iri(base, dt) + ">"
+    return tok
+
+
+def _split_statements(text: str, base_iri: str | None = None) -> list[str]:
     """Full-grammar Turtle document → normalized single-statement lines
-    (directives included; unsupported/unterminated statements collapsed to
-    single malformed-by-construction lines)."""
+    (``@prefix`` directives included and base-resolved; ``@base`` consumed;
+    ``[...]``/``(...)`` expanded with fresh bnode labels; structurally
+    invalid / unterminated statements collapsed to single
+    malformed-by-construction lines)."""
+    if _GEN_BNODE_GUARD.search(text):
+        raise ValueError(
+            f"document uses the reserved blank-node label prefix "
+            f"'{_GEN_BNODE_PREFIX}<n>' that statement re-assembly "
+            "synthesizes for [...] / (...) — relabel the input"
+        )
     out: list[str] = []
     cur: list[str] = []
     depth = 0
     unsupported = False
+    base = base_iri
+    gen = [0]
 
     def flush(terminated: bool) -> None:
         nonlocal cur, unsupported
@@ -648,66 +836,153 @@ def _split_statements(text: str) -> list[str]:
         if unsupported or not terminated:
             out.append(" ".join(cur).replace("\n", "\\n"))
         else:
-            out.extend(_expand_statement(cur))
+            out.extend(_expand_statement(cur, gen))
         cur, unsupported = [], False
 
     toks = _tokenize_ttl(text)
     for kind, tok in toks:
-        if kind == "PUNCT" and tok in "[](){}":
-            depth += 1 if tok in "[({" else -1
+        if kind == "PUNCT" and tok in "{}":
+            # TriG graph braces inside a Turtle document: not Turtle —
+            # collapse the statement into the malformed bucket, loud
             unsupported = True
+            cur.append(tok)
+        elif kind == "PUNCT" and tok in "[]()":
+            depth += 1 if tok in "[(" else -1
             cur.append(tok)
         elif kind == "PUNCT" and tok == "." and depth <= 0:
             flush(terminated=True)
-        elif kind == "WORD" and not cur and tok.lower() in (
-            "@prefix", "prefix", "@base", "base",
-        ):
-            # directive: @-form terminates with '.', SPARQL form does not —
-            # consume exactly (label, iri) and emit; extract_prefixes
-            # validates (and raises on @base)
-            rest = [t for _, t in (next(toks, (None, None)),
-                                   next(toks, (None, None))) if t]
+        elif kind == "WORD" and not cur and tok.lower() in ("@base", "base"):
+            # base directive: consume the IRI, update the in-scope base
+            # (itself resolved against the previous base per the spec),
+            # emit nothing — every subsequent IRI leaves here absolute.
+            # The @-form's trailing '.' flushes an empty statement (no-op).
+            k1, t1 = next(toks, (None, None))
+            if k1 != "IRI":
+                raise ValueError(
+                    f"malformed {tok} directive: expected <iri>, got {t1!r}"
+                )
+            body = t1[1:-1]
+            base = body if _SCHEME_RE.match(body) else resolve_iri(base, body)
+        elif kind == "WORD" and not cur and tok.lower() in ("@prefix", "prefix"):
+            # prefix directive: @-form terminates with '.', SPARQL form does
+            # not — consume exactly (label, iri); the namespace IRI is
+            # base-resolved here, so extract_prefixes sees absolute IRIs
+            k1, t1 = next(toks, (None, None))
+            k2, t2 = next(toks, (None, None))
+            rest = [t for k, t in ((k1, t1), (k2, t2)) if t]
+            if k2 == "IRI":
+                rest[-1] = _resolve_tok("IRI", t2, base)
             out.append(" ".join([tok, *rest]) + (
                 " ." if tok.startswith("@") else ""
             ))
         else:
-            cur.append(tok)
+            cur.append(_resolve_tok(kind, tok, base))
     flush(terminated=False)
     return out
 
 
-def _expand_statement(tokens: list[str]) -> list[str]:
-    """``subj p1 o1 ; p2 o2a , o2b`` token list → full statement lines.
-    Structurally invalid shapes collapse to one malformed line."""
-    bad = [" ".join(tokens) + " ."]
+def _fresh(gen: list[int]) -> str:
+    gen[0] += 1
+    return f"{_GEN_BNODE_PREFIX}{gen[0]}"
+
+
+def _parse_node(toks: list[str], i: int, lines: list[str], gen: list[int]):
+    """Parse one object/subject node at ``toks[i]`` → (node_token, next_i).
+
+    ``[...]`` allocates a fresh label and expands its inner
+    predicate-object list into ``lines``; ``(...)`` builds the
+    ``rdf:first``/``rdf:rest`` chain (``()`` is ``rdf:nil``). Plain tokens
+    pass through for the downstream single-line statement parser."""
+    t = toks[i]
+    if t == "[":
+        label = _fresh(gen)
+        i += 1
+        if i < len(toks) and toks[i] == "]":
+            return label, i + 1
+        i = _parse_polist(toks, i, label, "]", lines, gen)
+        return label, i
+    if t == "(":
+        items = []
+        i += 1
+        while i < len(toks) and toks[i] != ")":
+            node, i = _parse_node(toks, i, lines, gen)
+            items.append(node)
+        if i >= len(toks):
+            raise _StmtError
+        i += 1  # consume ')'
+        if not items:
+            return _RDF_NIL, i
+        labels = [_fresh(gen) for _ in items]
+        for k, (lbl, node) in enumerate(zip(labels, items)):
+            nxt = labels[k + 1] if k + 1 < len(items) else _RDF_NIL
+            lines.append(f"{lbl} {_RDF_FIRST} {node} .")
+            lines.append(f"{lbl} {_RDF_REST} {nxt} .")
+        return labels[0], i
+    if t in (";", ",", ".", "]", ")", "{", "}"):
+        raise _StmtError
+    return t, i + 1
+
+
+def _parse_polist(
+    toks: list[str], i: int, subj: str, closer: str | None,
+    lines: list[str], gen: list[int],
+) -> int:
+    """Parse a ``p1 o1a , o1b ; p2 o2 …`` predicate-object list, emitting
+    one full statement line per (subj, pred, obj). ``closer`` is ``"]"``
+    inside a blank-node property list (returns the index AFTER it) or
+    ``None`` at statement top level (returns ``len(toks)``)."""
+    while True:
+        while i < len(toks) and toks[i] == ";":  # stray/trailing ';' legal
+            i += 1
+        if closer is not None and i < len(toks) and toks[i] == closer:
+            return i + 1
+        if i >= len(toks):
+            if closer is not None:
+                raise _StmtError  # unclosed '['
+            return i
+        pred = toks[i]
+        if pred in (",", "[", "(", ")", "]", "{", "}", ".") or pred.startswith('"'):
+            raise _StmtError
+        i += 1
+        while True:
+            if i >= len(toks):
+                raise _StmtError  # missing object
+            obj, i = _parse_node(toks, i, lines, gen)
+            lines.append(f"{subj} {pred} {obj} .")
+            if i < len(toks) and toks[i] == ",":
+                i += 1
+                continue
+            break
+        if i < len(toks) and toks[i] == ";":
+            continue
+        if closer is not None:
+            if i < len(toks) and toks[i] == closer:
+                return i + 1
+            raise _StmtError
+        if i < len(toks):
+            raise _StmtError  # trailing junk after the last object
+        return i
+
+
+def _expand_statement(tokens: list[str], gen: list[int]) -> list[str]:
+    """One statement's token list → full single-line statements.
+
+    Handles ``;``/``,`` lists, blank-node property lists ``[...]`` in
+    subject or object position (nested), and collections ``(...)``.
+    Structurally invalid shapes collapse to one malformed line (loud,
+    lineage-counted — never silently dropped)."""
     if not tokens:
         return []
-    subj, rest = tokens[0], tokens[1:]
-    if subj in (";", ","):
+    bad = [" ".join(tokens) + " ."]
+    lines: list[str] = []
+    try:
+        subj, i = _parse_node(tokens, 0, lines, gen)
+        if subj.startswith('"'):
+            raise _StmtError  # literal subject
+        _parse_polist(tokens, i, subj, None, lines, gen)
+    except _StmtError:
         return bad
-    groups: list[list[str]] = [[]]
-    for t in rest:
-        if t == ";":
-            groups.append([])
-        else:
-            groups[-1].append(t)
-    lines = []
-    for g in groups:
-        if not g:
-            continue  # trailing/duplicate ';' is legal Turtle
-        pred, objs = g[0], [[]]
-        if pred in (",",):
-            return bad
-        for t in g[1:]:
-            if t == ",":
-                objs.append([])
-            else:
-                objs[-1].append(t)
-        for o in objs:
-            if len(o) != 1:
-                return bad
-            lines.append(f"{subj} {pred} {o[0]} .")
-    return lines or bad
+    return lines or bad  # e.g. bare '[] .' produces no triples → malformed
 
 
 #: one document is re-assembled by one task (same per-document execution
@@ -718,11 +993,19 @@ MAX_TTL_DOC_BYTES = 1 << 30
 
 
 def normalize_turtle_docs(
-    docs: DataFrame, ttl_col: str = "ttl", carry_cols: tuple[str, ...] = ()
+    docs: DataFrame,
+    ttl_col: str = "ttl",
+    carry_cols: tuple[str, ...] = (),
+    base_iri: str | None = None,
 ) -> DataFrame:
     """Whole Turtle documents → one normalized statement/directive line per
     row (column ``value`` + ``carry_cols``), via an Arrow-batched
     per-document re-assembly pass.
+
+    ``base_iri`` is the per-document initial base for relative-IRI
+    resolution (the reference passes the request address as ``baseUri``,
+    ``Flows.kt:69``); an ``@base`` directive inside a document overrides
+    it from that point on. Relative IRIs with no in-scope base raise.
 
     Parallelism is ACROSS documents — a single multi-GB ``.ttl`` dump
     normalizes in one task (and past ``MAX_TTL_DOC_BYTES`` raises with
@@ -747,7 +1030,7 @@ def normalize_turtle_docs(
                         "split the dump into parts (statement re-assembly "
                         "parallelizes across documents, not within one)"
                     )
-                for line in _split_statements(text):
+                for line in _split_statements(text, base_iri=base_iri):
                     rows.append([*(r[c] for c in carry), line])
             yield pd.DataFrame(rows, columns=[*carry, "value"])
 
@@ -759,21 +1042,20 @@ def parse_turtle_docs(
     ttl_col: str = "ttl",
     prefixes: dict[str, str] | None = None,
     keep_malformed: bool = False,
+    base_iri: str | None = None,
 ) -> DataFrame:
-    """Full-grammar(er) Turtle: whole documents → statement rows.
+    """Full-grammar Turtle: whole documents → statement rows.
 
-    ``normalize_turtle_docs`` re-assembles multi-line statements and
-    expands ``;``/``,`` lists; the existing single-statement machinery
-    (prefix extraction, JVM statement parse, sentinel fallback) runs
-    unchanged on the normalized lines. The normalized line stream is
-    persisted when prefixes must be extracted from it — otherwise the
-    Python re-assembly pass would run twice (once for the directive
-    collect, once for the parse)."""
-    lines = normalize_turtle_docs(docs, ttl_col)
-    if prefixes is None:
-        from pyspark import StorageLevel
-
-        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    ``normalize_turtle_docs`` re-assembles multi-line statements, expands
+    ``;``/``,`` lists and ``[...]``/``(...)``, and resolves ``@base`` /
+    relative IRIs (``base_iri`` = the document address, reference
+    ``Flows.kt:69``); the existing single-statement machinery (prefix
+    extraction, JVM statement parse, sentinel fallback) runs unchanged on
+    the normalized lines. The line stream is a live Python producer, so
+    ``parse_turtle``'s entry materialization (see ``_ensure_materialized``)
+    checkpoints it once — the re-assembly pass runs exactly once no matter
+    how many branches consume it."""
+    lines = normalize_turtle_docs(docs, ttl_col, base_iri=base_iri)
     return parse_turtle(
         lines, "value", prefixes=prefixes, keep_malformed=keep_malformed
     )
@@ -807,7 +1089,15 @@ def parse_trig(
     ``carry_cols`` (whose uniqueness the caller couldn't be trusted to
     guarantee: with a shared key, ``_pos`` ties across documents and the
     default RANGE frame would leak graph headers between documents).
-    ``carry_cols`` are pass-through annotation columns only."""
+    ``carry_cols`` are pass-through annotation columns only.
+
+    Same entry materialization as :func:`parse_turtle`: a live union /
+    Python-producer document plan is auto-checkpointed, so the per-document
+    explode + graph-context window run over materialized documents and are
+    never cloned into the split-union branches."""
+    from .rdf_io import ensure_materialized
+
+    docs = ensure_materialized(docs)
     if prefixes is None:
         prefixes = extract_prefixes(
             docs.select(
@@ -876,11 +1166,11 @@ def parse_trig(
     clean = step.select(
         *carry_cols, "graph", *[cols[c].alias(c) for c in out_cols]
     )
-    assist = (
-        exploded.filter(needs_py)
-        .select(*carry_cols, "graph", fallback(line).alias("_p"))
-        .select(*carry_cols, "graph", "_p.*")
+    # struct-attribute filter before field expansion — see parse_turtle
+    assist = exploded.filter(needs_py).select(
+        *carry_cols, "graph", fallback(line).alias("_p")
     )
     if not keep_malformed:
-        assist = assist.filter(F.col("obj_kind").isNotNull())
+        assist = assist.filter(F.col("_p.obj_kind").isNotNull())
+    assist = assist.select(*carry_cols, "graph", "_p.*")
     return clean.unionByName(assist)

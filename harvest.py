@@ -101,32 +101,55 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
         return parse_jsonld(lines, keep_malformed=keep_malformed)
 
     # whole-document syntaxes (Turtle goes through statement re-assembly:
-    # real .ttl dumps use `;`/`,` lists and multi-line statements).
-    # NOTE the per-document parallelism model matches the reference (Jena
-    # reads one document in one thread, Flows.kt:66-77): corpus
-    # parallelism is ACROSS files. normalize_turtle_docs raises loudly on
-    # a single document past ~1GB — split such dumps into parts first.
+    # real .ttl dumps use `;`/`,` lists, multi-line statements, [...] /
+    # (...) and @base). NOTE the per-document parallelism model matches
+    # the reference (Jena reads one document in one thread,
+    # Flows.kt:66-77): corpus parallelism is ACROSS files.
+    # normalize_turtle_docs raises loudly on a single document past ~1GB —
+    # split such dumps into parts first.
     docs = spark.read.text(path, wholetext=True)
     if pre and fmt in ("ttl", "trig"):
-        # Turtle-family only: the space-in-IRI %-encode targets <...>
-        # brackets, which in XML are element tags whose attributes
-        # legitimately contain spaces — pre-processing RDF/XML would
-        # corrupt it, so it is rejected loudly below instead.
-        docs = docs.select(pre_process(F.col("value")).alias("value"))
+        # Turtle-family only — and document-level gets ONLY the
+        # character-local half (BOM/control strip): the space-in-IRI
+        # %-encode pairs the nearest <...> brackets, which across a
+        # multi-statement document can fuse a '<' inside one literal with
+        # a '>' in a later IRI and rewrite literal content across
+        # statement boundaries (ADVICE r4). It runs line-scoped below:
+        # per re-assembled statement for Turtle, per physical line for
+        # TriG. (XML is rejected outright — element tags ARE <...> with
+        # legitimate attribute spaces.)
+        from bop_consus_importing_rdf_spark.sources.rdf_io import (
+            pre_process_controls,
+        )
+
+        docs = docs.select(pre_process_controls(F.col("value")).alias("value"))
     elif pre:
         raise SystemExit(
             "--pre-process is not supported for RDF/XML input (the "
             "space-in-IRI fix-up would corrupt XML attribute spacing)"
         )
     if fmt == "ttl":
+        from bop_consus_importing_rdf_spark.sources.rdf_io import (
+            pre_process_iri_spaces,
+        )
         from bop_consus_importing_rdf_spark.sources.turtle_io import (
-            parse_turtle_docs,
+            normalize_turtle_docs,
+            parse_turtle,
         )
 
-        return parse_turtle_docs(
-            docs.select(F.col("value").alias("ttl")),
-            keep_malformed=keep_malformed,
+        # the document address is the base IRI, exactly the reference's
+        # JenaUtils.read(content, contentType, address) at Flows.kt:69
+        base = (
+            input_base_iri(path) if "://" not in path else path
         )
+        lines = normalize_turtle_docs(
+            docs.select(F.col("value").alias("ttl")), base_iri=base
+        )
+        if pre:
+            lines = lines.select(
+                pre_process_iri_spaces(F.col("value")).alias("value")
+            )
+        return parse_turtle(lines, keep_malformed=keep_malformed)
     if fmt == "rdfxml":
         from bop_consus_importing_rdf_spark.functions.rdfxml import (
             parse_rdfxml,
@@ -138,10 +161,32 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
         )
     from bop_consus_importing_rdf_spark.sources.turtle_io import parse_trig
 
+    if pre:
+        from bop_consus_importing_rdf_spark.sources.rdf_io import (
+            pre_process_iri_spaces,
+        )
+
+        # line-scoped space-in-IRI fix inside each document (our TriG
+        # subset is line-oriented, so a physical line is a statement)
+        docs = docs.select(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.split(F.col("value"), "\n"),
+                    lambda ln: pre_process_iri_spaces(ln),
+                ),
+            ).alias("value")
+        )
     return parse_trig(
         docs.select(F.col("value").alias("trig")),
         keep_malformed=keep_malformed,
     ).drop("graph")
+
+
+def input_base_iri(path: str) -> str:
+    """A local input path as a ``file://`` base IRI (the reference passes
+    the request address as the parse base, ``Flows.kt:69``)."""
+    return Path(path).resolve().as_uri()
 
 
 def run_harvest(

@@ -114,6 +114,48 @@ def test_ttl_base_directive_raises(spark):
         extract_prefixes(lines)
 
 
+def test_parser_auto_materializes_live_union_producer(spark, tmp_path):
+    """Round-5 structural enforcement of the caller contract (round-4 it
+    was docstring-only): feeding a LIVE multi-branch render union straight
+    into a split-union parser must NOT clone the assist branch's Python
+    UDF into every producer branch (PushProjectionThroughUnion) — the
+    parser auto-checkpoints such producers at entry, so the executed plan
+    carries exactly ONE ArrowEvalPython node."""
+    import re as _re
+
+    from bop_consus_importing_rdf_spark.functions.formats import (
+        prefix_directives, ttl_line,
+    )
+    from .conftest import triples_df
+
+    triples_df(spark, ROWS).write.mode("overwrite").parquet(
+        f"{tmp_path}/t"
+    )
+    t = spark.read.parquet(f"{tmp_path}/t")
+    # a live multi-branch producer: one rendered branch per object kind
+    # plus the directive rows — the shape of the S10 render union
+    branches = [
+        spark.createDataFrame(
+            [(d,) for d in prefix_directives()], "value string"
+        )
+    ] + [
+        t.filter(F.col("obj_kind") == k).select(
+            ttl_line(*[F.col(c) for c in KEY]).alias("value")
+        )
+        for k in ("iri", "bnode", "literal")
+    ]
+    live = branches[0]
+    for b in branches[1:]:
+        live = live.union(b)
+    parsed = parse_turtle(live)
+    plan = parsed._jdf.queryExecution().executedPlan().toString()
+    assert len(_re.findall(r"ArrowEvalPython", plan)) == 1
+    # and the parse is still correct
+    a, b = _nt(parsed), _nt(triples_df(spark, ROWS))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_ttl_sentinel_bytes_take_fallback(spark):
     lines = spark.createDataFrame(
         [('<urn:a> <urn:p> "a\x01b\x02c" .',)], "value string"
@@ -241,7 +283,7 @@ def test_split_statements_expands_lists_and_normalizes_strings():
         "    ex:price 5.0 ;\n"
         "    ex:note \"\"\"tri\"ple\ntext\\u0041\"\"\"^^ex:dt .\n"
         "ex:s2 ex:p <urn:o> . ex:s2 ex:q 1.5 .\n"
-        "<urn:bad> ex:p [ ex:inner \"x\" ] .\n"
+        "<urn:bpl> ex:p [ ex:inner \"x\" ] .\n"
         "<urn:unterminated> ex:p \"v\"\n"
     )
     got = _split_statements(doc)
@@ -255,9 +297,80 @@ def test_split_statements_expands_lists_and_normalizes_strings():
         '<urn:ds:1> ex:note "tri\\"ple\\ntext\\u0041"^^ex:dt .',
         "ex:s2 ex:p <urn:o> .",
         "ex:s2 ex:q 1.5 .",
-        # unsupported / unterminated collapse to malformed-by-construction
-        '<urn:bad> ex:p [ ex:inner "x" ]',
+        # round-5: bnode property lists expand with fresh labels
+        '_:tgen1 ex:inner "x" .',
+        "<urn:bpl> ex:p _:tgen1 .",
+        # unterminated still collapses to malformed-by-construction
         '<urn:unterminated> ex:p "v"',
+    ]
+
+
+def test_split_statements_bnode_collections_and_base():
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _split_statements,
+    )
+
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    doc = (
+        "@base <http://ex.org/base/> .\n"
+        "@prefix ex: <vocab#> .\n"
+        "<ds1> ex:dist [ a ex:Dist ; ex:url <files/d.csv> ] ;\n"
+        "      ex:items ( <i1> \"two\" ) ; ex:empty ( ) .\n"
+        "[ ex:standalone \"y\" ] .\n"
+    )
+    assert _split_statements(doc) == [
+        "@prefix ex: <http://ex.org/base/vocab#> .",
+        "_:tgen1 a ex:Dist .",
+        "_:tgen1 ex:url <http://ex.org/base/files/d.csv> .",
+        "<http://ex.org/base/ds1> ex:dist _:tgen1 .",
+        f"_:tgen2 <{RDF}first> <http://ex.org/base/i1> .",
+        f"_:tgen2 <{RDF}rest> _:tgen3 .",
+        f'_:tgen3 <{RDF}first> "two" .',
+        f"_:tgen3 <{RDF}rest> <{RDF}nil> .",
+        "<http://ex.org/base/ds1> ex:items _:tgen2 .",
+        f"<http://ex.org/base/ds1> ex:empty <{RDF}nil> .",
+        '_:tgen4 ex:standalone "y" .',
+    ]
+
+
+def test_split_statements_long_string_trailing_quotes():
+    # ADVICE r4 (medium): a long-string body ending in 1-2 quotes is
+    # spec-legal; the terminator is the LAST 3 quotes of the run
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _split_statements,
+    )
+
+    assert _split_statements('<urn:s> <urn:p> """abc"""" .\n') == [
+        '<urn:s> <urn:p> "abc\\"" .'
+    ]
+    assert _split_statements('<urn:s> <urn:p> """ab""c""""" .\n') == [
+        '<urn:s> <urn:p> "ab\\"\\"c\\"\\"" .'
+    ]
+
+
+def test_split_statements_loud_failures():
+    import pytest as _pytest
+
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _split_statements,
+    )
+
+    # relative IRI with no in-scope base: unresolvable → raise (Jena always
+    # has the request address; base_iri supplies it here)
+    with _pytest.raises(ValueError, match="relative IRI"):
+        _split_statements("<rel> <urn:p> <urn:o> .\n")
+    got = _split_statements(
+        "<rel> <urn:p> <urn:o> .\n", base_iri="http://h/x/"
+    )
+    assert got == ["<http://h/x/rel> <urn:p> <urn:o> ."]
+    # a document using the reserved synthesized label prefix
+    with _pytest.raises(ValueError, match="reserved"):
+        _split_statements("_:tgen1 <urn:p> <urn:o> .\n")
+    # TriG braces inside Turtle collapse to the malformed bucket (the '.'
+    # inside the block flushes the open fragment; both pieces are loud)
+    assert _split_statements("<urn:g> { <urn:a> <urn:p> <urn:o> . }\n") == [
+        "<urn:g> { <urn:a> <urn:p> <urn:o>",
+        "}",
     ]
 
 
@@ -300,7 +413,7 @@ def test_parse_turtle_docs_malformed_bucket_counts_unsupported(spark):
 
     doc = (
         "<urn:a> <urn:p> <urn:o> ;\n    <urn:q> \"v\" .\n"
-        "<urn:bad> <urn:p> ( 1 2 3 ) .\n"
+        "<urn:bad> <urn:p> <urn:x> extra-junk .\n"
     )
     docs = spark.createDataFrame([(doc,)], "ttl string")
     kept = parse_turtle_docs(docs, prefixes={}, keep_malformed=True)
@@ -308,4 +421,48 @@ def test_parse_turtle_docs_malformed_bucket_counts_unsupported(spark):
     bad = kept.filter(F.col("obj_kind").isNull())
     assert good.count() == 2
     assert bad.count() == 1
-    assert "( 1 2 3 )" in bad.collect()[0].obj_value
+    assert "extra-junk" in bad.collect()[0].obj_value
+
+
+def test_parse_turtle_docs_bnode_lists_end_to_end(spark):
+    """A real-world-style DCAT document — distributions as blank-node
+    property lists, keywords as a collection, @base-relative IRIs — parses
+    end to end through the re-assembly + JVM statement machinery."""
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        parse_turtle_docs,
+    )
+
+    doc = (
+        "@base <http://data.example.org/catalog/> .\n"
+        "@prefix dcat: <http://www.w3.org/ns/dcat#> .\n"
+        "@prefix dct: <http://purl.org/dc/terms/> .\n"
+        "<ds/1> a dcat:Dataset ;\n"
+        '  dct:title "Dataset one"@en ;\n'
+        "  dcat:distribution [ a dcat:Distribution ;\n"
+        '      dct:format "CSV" ;\n'
+        "      dcat:downloadURL <files/one.csv> ] ;\n"
+        '  dcat:keyword ( "a" "b" ) .\n'
+    )
+    docs = spark.createDataFrame([(doc,)], "ttl string")
+    got = parse_turtle_docs(docs)
+    assert got.filter(F.col("obj_kind").isNull()).count() == 0
+    rows = {
+        (r.subj, r.pred): (r.obj_value, r.obj_kind)
+        for r in got.collect()
+    }
+    ds = "http://data.example.org/catalog/ds/1"
+    dcat = "http://www.w3.org/ns/dcat#"
+    assert rows[(ds, RDF_TYPE)] == (dcat + "Dataset", "iri")
+    # the distribution subtree hangs off a synthesized bnode
+    dist_label = rows[(ds, dcat + "distribution")][0]
+    assert dist_label.startswith("_:tgen")
+    assert rows[(dist_label, dcat + "downloadURL")] == (
+        "http://data.example.org/catalog/files/one.csv", "iri"
+    )
+    # the keyword collection is an rdf:first/rest chain ending in rdf:nil
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    head = rows[(ds, dcat + "keyword")][0]
+    assert rows[(head, rdf_ns + "first")] == ("a", "literal")
+    nxt = rows[(head, rdf_ns + "rest")][0]
+    assert rows[(nxt, rdf_ns + "first")] == ("b", "literal")
+    assert rows[(nxt, rdf_ns + "rest")] == (rdf_ns + "nil", "iri")
