@@ -105,21 +105,26 @@ def split_datasets(
     # Downstream groupBy(dataset_id) consumers shuffle off the checkpoint,
     # but F4's distinct and the triple counts reduce map-side first — their
     # exchanges carry ~one row per dataset, not the statement table.
-    ds_triples = subgraph_triples(
-        t, ds_closure, root_alias="dataset_id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ds_triples = subgraph_triples(t, ds_closure, root_alias="dataset_id")
 
     # J3: nested-catalogue subtraction — faithful to the reference, which
     # iterates ALL catalogue-typed resources of the extracted model
     # (Flows.kt:117-121) INCLUDING the dataset root itself when it is
     # (mis)typed dcat:Catalog: such a dataset's model empties and F4 drops it.
-    cat_in_ds = (
-        ds_triples.filter(
-            (F.col("pred") == RDF_TYPE) & (F.col("obj_value") == DCAT_CATALOG)
-        )
-        .select("dataset_id", F.col("subj").alias("cat_root"))
-        .distinct()
-    )
+    #
+    # Round-5: the catalogue roots inside each dataset are detected on the
+    # CLOSURE NODE SET, not the extracted statement table — a statement
+    # (s, rdf:type, dcat:Catalog) lands in dataset D's model iff s is in
+    # D's closure and the statement exists in t, so
+    # {(D, s) : s ∈ closure(D)} ⋈ cat_roots is set-identical to filtering
+    # ds_triples (proven equal by the unchanged oracle hash). That makes
+    # ds_triples SINGLE-consumer, dropping its full persist — previously
+    # the biggest intermediate materialized twice (persist + the final
+    # checkpoint below).
+    cat_in_ds = ds_closure.join(
+        cat_roots.select(F.col("root").alias("cat_root")),
+        ds_closure["node"] == F.col("cat_root"),
+    ).select(F.col("root").alias("dataset_id"), "cat_root")
     removal = (
         cat_in_ds.join(closure, cat_in_ds["cat_root"] == closure["root"])
         .select("dataset_id", F.col("node").alias("subj"))
@@ -134,7 +139,6 @@ def split_datasets(
         removal, ["dataset_id", "subj"], "left_anti"
     ).localCheckpoint()
     t.unpersist()
-    ds_triples.unpersist()
 
     # F4: drop datasets whose model ended up empty
     non_empty = final.select(
