@@ -419,6 +419,65 @@ def q_ttl_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-5 Turtle grammar completion: [...] / (...) / @base ---------------
+#
+# The grouped renderer never emits blank-node property lists, so the
+# roundtrip queries cannot exercise them; this fixture is the e2e-corpus
+# trick instead (kg/synth.py precedent): ONE adversarial document constant
+# feeds the Spark parse, and the HAND-DERIVED expected N-Triples lines
+# (not machine-derived — deriving them via the parser would be circular)
+# feed a DuckDB VALUES clause. Covers: bnode property lists (nested),
+# collections incl. (), @base + relative IRIs incl. ../ dot segments,
+# long-string bodies ending in a quote (ADVICE r4), prefix-IRI base
+# resolution.
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+TTL_BNODE_DOC = (
+    "@base <http://ex.org/cat/> .\n"
+    "@prefix dcat: <http://www.w3.org/ns/dcat#> .\n"
+    "@prefix dct: <http://purl.org/dc/terms/> .\n"
+    "<ds/1> a dcat:Dataset ;\n"
+    '  dct:title """Catalog "one"""" ;\n'
+    "  dcat:distribution [ a dcat:Distribution ;\n"
+    '      dct:format "CSV" ;\n'
+    "      dcat:downloadURL <files/one.csv> ;\n"
+    '      dct:license [ dct:title "CC0" ] ] ;\n'
+    '  dcat:keyword ( "alpha" "beta" ) .\n'
+    "<ds/2> dct:relation ( ) ; dct:source <../src> .\n"
+)
+TTL_BNODE_EXPECTED = [
+    f"<http://ex.org/cat/ds/1> <{_RDF}type> <http://www.w3.org/ns/dcat#Dataset> .",
+    '<http://ex.org/cat/ds/1> <http://purl.org/dc/terms/title> "Catalog \\"one\\"" .',
+    f"_:tgen1 <{_RDF}type> <http://www.w3.org/ns/dcat#Distribution> .",
+    '_:tgen1 <http://purl.org/dc/terms/format> "CSV" .',
+    "_:tgen1 <http://www.w3.org/ns/dcat#downloadURL> <http://ex.org/cat/files/one.csv> .",
+    '_:tgen2 <http://purl.org/dc/terms/title> "CC0" .',
+    "_:tgen1 <http://purl.org/dc/terms/license> _:tgen2 .",
+    "<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#distribution> _:tgen1 .",
+    f'_:tgen3 <{_RDF}first> "alpha" .',
+    f"_:tgen3 <{_RDF}rest> _:tgen4 .",
+    f'_:tgen4 <{_RDF}first> "beta" .',
+    f"_:tgen4 <{_RDF}rest> <{_RDF}nil> .",
+    "<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#keyword> _:tgen3 .",
+    f"<http://ex.org/cat/ds/2> <http://purl.org/dc/terms/relation> <{_RDF}nil> .",
+    "<http://ex.org/cat/ds/2> <http://purl.org/dc/terms/source> <http://ex.org/src> .",
+]
+
+
+def q_ttl_bnode_base_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the adversarial full-grammar Turtle document and emit
+    N-Triples lines; the oracle is the hand-derived expected line set."""
+    from .sources.turtle_io import parse_turtle_docs
+
+    docs = spark.createDataFrame([(TTL_BNODE_DOC,)], "ttl string")
+    parsed = parse_turtle_docs(docs)
+    return parsed.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
 def q_nquads_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Quads parse ∘ render == id, graph label included."""
     from .sources.rdf_io import parse_nquads
@@ -1427,6 +1486,14 @@ ORACLES: dict[str, str] = {
         "FROM datasets d JOIN final_triples f ON f.dataset_id = d.subj "
         "GROUP BY d.subj, d.identifier"
     ),
+    # hand-derived expected lines for the full-grammar Turtle fixture (the
+    # Spark side PARSES the document; none of these strings contain a
+    # single quote, so direct embedding is safe)
+    "ttl_bnode_base_parse": (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('{ln}')" for ln in TTL_BNODE_EXPECTED)
+        + ") t(line)"
+    ),
     # identical relational semantics — the Spark side reads the bucketed
     # production layout instead of the in-memory graph, so the SAME oracle
     # text must hash-match both physical strategies
@@ -1897,6 +1964,7 @@ SPARK_QUERIES = {
     "identify_flags": q_identify_flags,
     "split_datasets": q_split_datasets,
     "split_datasets_bucketed": q_split_datasets_bucketed,
+    "ttl_bnode_base_parse": q_ttl_bnode_base_parse,
     "dataset_counter": q_dataset_counter,
     "manifest": q_manifest,
     "duplicate_warnings": q_duplicate_warnings,

@@ -202,6 +202,7 @@ def run_harvest(
     bucket_threshold_bytes: int | None = 256 << 20,
     n_buckets: int = 64,
     resume: bool = False,
+    datasets_layout: str = "auto",
 ) -> dict:
     """The full harvest DAG; returns summary counts (also printed by the
     CLI). Separated from ``main`` so tests drive it in-process.
@@ -300,12 +301,16 @@ def run_harvest(
         )
     triples = parsed.filter(F.col("obj_kind").isNotNull())
 
+    # the input is ALWAYS materialized here — a bucketed/resumed table or
+    # the in-memory cache above — so split's defensive persist would only
+    # duplicate it in executor memory
     ds_triples, datasets = split_datasets(
-        triples, remove_prefix, precedence_uri_ref
+        triples, remove_prefix, precedence_uri_ref, input_materialized=True
     )
     counted = with_counter(
         datasets.withColumn("catalogue", F.lit(catalogue))
     ).cache()
+    n_datasets = counted.count()
 
     rendered = ds_triples.select(
         "dataset_id",
@@ -314,9 +319,23 @@ def run_harvest(
             F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
         ).alias("value"),
     )
-    rendered.write.mode("overwrite").partitionBy("dataset_id").text(
-        f"{output}/datasets"
-    )
+    # Datasets sink layout: one text directory per dataset is the
+    # CLI-friendly shape (the reference forwards one payload per dataset,
+    # ImportingRdfVerticle.kt:90-94) but a filesystem-metadata storm past
+    # ~20k datasets — 150k datasets at sf1 means 150k directories of tiny
+    # files, and a billion datasets is impossible. `auto` keys on the
+    # actual dataset count (already computed for the manifest): above the
+    # threshold the payload lands as ONE parquet dataset keyed by the
+    # `dataset_id` column — consumers predicate-push on it, and the row
+    # count per file stays balanced regardless of dataset skew.
+    if datasets_layout == "auto":
+        datasets_layout = "partitioned" if n_datasets <= 20_000 else "parquet"
+    if datasets_layout == "partitioned":
+        rendered.write.mode("overwrite").partitionBy("dataset_id").text(
+            f"{output}/datasets"
+        )
+    else:
+        rendered.write.mode("overwrite").parquet(f"{output}/datasets")
     manifest(counted).write.mode("overwrite").json(f"{output}/manifest")
     duplicate_warnings(counted).write.mode("overwrite").json(
         f"{output}/warnings"
@@ -336,8 +355,9 @@ def run_harvest(
         "resumed": resumed,
         "n_statements": triples.count(),
         "n_rejects": n_rejects,
-        "n_datasets": counted.count(),
+        "n_datasets": n_datasets,
         "n_dataset_statements": ds_triples.count(),
+        "datasets_layout": datasets_layout,
     }
     parsed.unpersist()
     counted.unpersist()
@@ -367,6 +387,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip the parse when OUTPUT/triples exists from a "
                          "previous committed run")
+    ap.add_argument("--datasets-layout", default="auto",
+                    choices=("auto", "partitioned", "parquet"),
+                    help="datasets sink: one text dir per dataset "
+                         "(CLI-friendly, <=20k datasets) or one parquet "
+                         "dataset keyed by dataset_id (scale); auto picks "
+                         "by dataset count")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -389,7 +415,7 @@ def main() -> None:
         args.pre_process, args.remove_prefix, args.precedence_uri_ref,
         args.keep_malformed,
         bucket_threshold_bytes=thresh, n_buckets=args.n_buckets,
-        resume=args.resume,
+        resume=args.resume, datasets_layout=args.datasets_layout,
     )
     summary["wall_sec"] = round(time.perf_counter() - t0, 3)
     print(summary)

@@ -182,6 +182,70 @@ disagrees with the builder's own methodology" finding.
 """
 
 
+ROUND5_MD = """
+## Round-5 probe & A/B findings (2026-08-17)
+
+- **The graded split now consumes the bucketed-by-subj production
+  layout** (round-4 verdict item 1). bench.py lands the fixture graph
+  once, untimed, as the same bucketed external table `harvest.py` writes
+  (the one-time landing cost is reported as `bucketed_landing_sec`,
+  ~9-11s at sf0.1 — parse/ingest work amortized across every consumer);
+  the timed `split_datasets` query reads the durable table with
+  `split_datasets(input_materialized=True)`, skipping the defensive
+  input persist. 19.2s (r4 min) -> ~13s.
+- **Nested-catalogue roots from the closure node set**: a
+  (s, rdf:type, dcat:Catalog) statement is in dataset D's model iff s is
+  in D's closure and the statement is in the input — so cat_in_ds joins
+  the (small) closure against the catalog-typed subjects instead of
+  filtering the extracted statement table. That makes the per-dataset
+  statement table single-consumer and drops its full persist (it
+  previously materialized twice: persist + the final checkpoint). Oracle
+  hash unchanged.
+- **The round-4 "residual ~8% r2->r4 split gap" is RETIRED:
+  cannot-reproduce at 6-pair resolution.** Two interleaved fresh-JVM
+  A/B series on the IN-MEMORY split (the variant the gap was recorded
+  on), same host, same session each:
+  r4 (dbb047e) = {22.26, 22.26, 22.32, 22.46, 25.4, 26.55} vs
+  r5 = {21.44, 22.03, 22.3, 23.3, 23.97, 26.12} — tie; then directly
+  r2 (c13501a) = {23.17, 24.23, 24.68, 25.23, 25.26, 26.65} vs
+  r5 = {23.18, 24.44, 24.75, 24.79, 24.83, 26.78} — median 24.96 vs
+  24.77, a dead tie (<1%). The consistent-sign gap round 4 measured does
+  not survive 12 fresh pairs; the graded number has moved to the
+  bucketed layout regardless. (The two series also re-demonstrate
+  intra-hour host drift: the same r5 code measured 21.4-26.1 in the
+  first window and 23.2-26.8 an hour later.)
+- **Production harvest e2e at sf1** (the CLI a user actually runs:
+  9.05M-statement N-Triples dump, 566MB text): parse -> bucketed
+  landing (OUTPUT/triples, 64 buckets) -> split (1.5M datasets!) ->
+  render -> manifest/warnings/metrics = **88.5s wall**, ~102k
+  statements/sec end-to-end, 0 rejects. `--resume` re-run: 76.0s
+  (parse skipped, reads the committed bucketed artifact). The datasets
+  sink auto-switched to the parquet layout — 1.5M datasets under the
+  partitioned text sink would mean 1.5M directories; `auto` keys on the
+  actual dataset count (<=20k -> per-dataset text dirs).
+- **IVF at sf1 vectors** (1M embeddings, Lloyd-refined farthest-first
+  centroids): `ivf_topk` 3.7s, recall vs exact = 1.000;
+  `cosine_topk` exact baseline 7.5s; `ann_rhp_topk` 7.9s (recall
+  1.000). IVF is now the fastest ANN path at this scale (2x exact);
+  recall on this isotropic fixture is saturated — the discriminating
+  recall gate lives in test_similarity's constructed clustered corpus.
+- **Assist-branch double-ArrowEvalPython fixed in all three split-union
+  parsers**: the malformed-drop filter referencing a deterministic
+  pandas UDF's output got the UDF substituted below the projection
+  (PushDownPredicates) — and InferFiltersFromConstraints re-derives
+  pushable isnotnull copies even behind a nondeterministic guard — so
+  the parser ran twice on assist lines. Fix: mark the fallback UDFs
+  `asNondeterministic()` (a plan barrier, not semantics) and filter the
+  output struct before field expansion. The new contract pytest pins
+  exactly ONE ArrowEvalPython in the plan.
+- **Structural caller contract**: `ensure_materialized` auto-checkpoints
+  live union/Python-producer plans at parser entry (cached-substituted
+  analyzed plan scan — no physical planning; file scans/caches pass
+  through). parse_turtle_docs' normalization now runs exactly once per
+  parse regardless of consumer branch count.
+"""
+
+
 def run_once(cpus: int, sf_dir: str, n_conv: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS=str(cpus),
                SPARK_DRIVER_MEM="16g")
@@ -256,7 +320,7 @@ resource-aware selector picks the pandas-UDF matcher there; at local[32]
 faster in that regime. Both strategies are row-exact equivalent
 (test_mentions_jvm); on a real cluster, executors sized to their hosts
 take the JVM path.
-""" + SCALE_PROBE_MD + ROUND4_MD
+""" + SCALE_PROBE_MD + ROUND4_MD + ROUND5_MD
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
     out_path.write_text(md)

@@ -88,6 +88,34 @@ def test_harvest_nt_gz(spark, tmp_path, graph):
     assert stages == {"parse", "split", "datasets"}
 
 
+def test_harvest_parquet_datasets_layout(spark, tmp_path, graph):
+    """``datasets_layout='parquet'`` (auto-selected past 20k datasets —
+    1.5M datasets at sf1 would mean 1.5M directories under the partitioned
+    text sink) lands the payload as ONE parquet dataset keyed by
+    ``dataset_id``, same rows as the partitioned layout."""
+    from bop_consus_importing_rdf_spark.functions.ntriples import nt_line
+
+    lines = graph.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    ).collect()
+    src = tmp_path / "dump.nt"
+    src.write_text("\n".join(r.line for r in lines) + "\n", encoding="utf-8")
+
+    out = str(tmp_path / "out_pq")
+    summary = run_harvest(
+        spark, str(src), out, catalogue="cat-pq", datasets_layout="parquet"
+    )
+    exp_stmts, exp_datasets = _expected(spark, graph)
+    assert summary["datasets_layout"] == "parquet"
+    got = spark.read.parquet(f"{out}/datasets")
+    assert set(got.columns) == {"dataset_id", "value"}
+    assert got.count() == exp_stmts
+    assert got.select("dataset_id").distinct().count() == exp_datasets
+
+
 def test_harvest_malformed_gate(spark, tmp_path):
     """Default: parse errors fail the run with a count (reference rethrow,
     Flows.kt:75-77); --keep-malformed downgrades them to counted rejects."""
