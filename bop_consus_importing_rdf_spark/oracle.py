@@ -478,6 +478,53 @@ def q_ttl_bnode_base_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full-grammar TriG fixture (round-5): graph blocks with multi-line
+# statements, `;`/`,` lists, bnode property lists and collections INSIDE
+# blocks, the GRAPH keyword form, default-graph statements, a base-relative
+# graph label, and an optional final '.' omitted before '}'. Same
+# hand-derived-expectation design as TTL_BNODE_DOC.
+TRIG_FULL_DOC = (
+    "@base <http://ex.org/g/> .\n"
+    "@prefix ex: <urn:ex:> .\n"
+    '<urn:top> ex:p "default" .\n'
+    "<g1> {\n"
+    "  <urn:a> ex:p <urn:b> ;\n"
+    '          ex:q "x" , "y" .\n'
+    "  <urn:a> ex:r [ ex:inner <i> ]\n"
+    "}\n"
+    'GRAPH ex:g2 { <urn:c> ex:n ( "v" ) . }\n'
+)
+_G1 = "http://ex.org/g/g1"
+TRIG_FULL_EXPECTED = [
+    (None, '<urn:top> <urn:ex:p> "default" .'),
+    (_G1, "<urn:a> <urn:ex:p> <urn:b> ."),
+    (_G1, '<urn:a> <urn:ex:q> "x" .'),
+    (_G1, '<urn:a> <urn:ex:q> "y" .'),
+    (_G1, "_:tgen1 <urn:ex:inner> <http://ex.org/g/i> ."),
+    (_G1, "<urn:a> <urn:ex:r> _:tgen1 ."),
+    ("urn:ex:g2", f'_:tgen2 <{_RDF}first> "v" .'),
+    ("urn:ex:g2", f"_:tgen2 <{_RDF}rest> <{_RDF}nil> ."),
+    ("urn:ex:g2", "<urn:c> <urn:ex:n> _:tgen2 ."),
+]
+
+
+def q_trig_full_grammar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the full-grammar TriG document via the tokenizer-based doc
+    re-assembly (``parse_trig_docs``); oracle = hand-derived
+    (graph, line) rows."""
+    from .sources.turtle_io import parse_trig_docs
+
+    docs = spark.createDataFrame([(TRIG_FULL_DOC,)], "trig string")
+    parsed = parse_trig_docs(docs)
+    return parsed.select(
+        "graph",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line"),
+    )
+
+
 def q_nquads_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-Quads parse ∘ render == id, graph label included."""
     from .sources.rdf_io import parse_nquads
@@ -574,6 +621,16 @@ def _split(spark: SparkSession, sf_dir: str):
 
     key = (id(spark), sf_dir)
     if key not in _SPLIT_CACHE:
+        # a bucketed split already materialized this session produces the
+        # IDENTICAL result (both variants hash against the same oracle
+        # SQL) — the downstream views (counter, manifest, hash, renders)
+        # reuse it instead of re-running the in-memory split. The driver's
+        # correctness sweep still exercises both variants independently:
+        # `split_datasets` registers (and runs) before
+        # `split_datasets_bucketed`, so this fallback only fires in
+        # sessions — like bench — that computed the bucketed split first.
+        if key in _SPLIT_BUCKETED_CACHE:
+            return _SPLIT_BUCKETED_CACHE[key]
         # split_datasets already checkpoints its outputs' expensive subtree;
         # memoizing the DataFrames is enough for the six oracle views
         _SPLIT_CACHE[key] = split_datasets(_graph(spark, sf_dir))
@@ -1494,6 +1551,15 @@ ORACLES: dict[str, str] = {
         + ", ".join(f"('{ln}')" for ln in TTL_BNODE_EXPECTED)
         + ") t(line)"
     ),
+    "trig_full_grammar_parse": (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            ("(CAST(NULL AS VARCHAR), " if g is None else f"('{g}', ")
+            + f"'{ln}')"
+            for g, ln in TRIG_FULL_EXPECTED
+        )
+        + ") t(graph, line)"
+    ),
     # identical relational semantics — the Spark side reads the bucketed
     # production layout instead of the in-memory graph, so the SAME oracle
     # text must hash-match both physical strategies
@@ -1965,6 +2031,7 @@ SPARK_QUERIES = {
     "split_datasets": q_split_datasets,
     "split_datasets_bucketed": q_split_datasets_bucketed,
     "ttl_bnode_base_parse": q_ttl_bnode_base_parse,
+    "trig_full_grammar_parse": q_trig_full_grammar_parse,
     "dataset_counter": q_dataset_counter,
     "manifest": q_manifest,
     "duplicate_warnings": q_duplicate_warnings,

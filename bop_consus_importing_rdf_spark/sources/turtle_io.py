@@ -27,7 +27,10 @@ grammar — multi-line statements, ``;`` predicate-object lists, ``,``
 object lists, triple- and single-quoted strings, comments, SPARQL-style
 directives — into the single-line statement form above, so real-world
 ``.ttl`` dumps parse without the line-oriented restriction. ``harvest.py``
-routes ``.ttl`` sources through it. Round 5 completed the grammar:
+routes ``.ttl`` sources through it (and ``.trig`` sources through
+:func:`parse_trig_docs`, the TriG twin built on the same tokenizer —
+graph blocks incl. the ``GRAPH`` keyword, default-graph statements,
+optional final ``.`` before ``}``). Round 5 completed the grammar:
 blank-node property lists ``[...]`` (fresh deterministic labels, nested),
 collections ``(...)`` (``rdf:first``/``rdf:rest`` chains), and
 ``@base``/``BASE`` with full RFC 3986 relative-IRI resolution (the
@@ -421,10 +424,39 @@ def parse_turtle(
     lines = ensure_materialized(lines)
     if prefixes is None:
         prefixes = extract_prefixes(lines, line_col)
+    return _parse_statement_lines(lines, line_col, prefixes, keep_malformed)
 
+
+def _parse_statement_lines(
+    lines: DataFrame,
+    line_col: str,
+    prefixes: dict[str, str],
+    keep_malformed: bool,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The shared split-union statement parse over a (materialized)
+    normalized-line stream; ``carry_cols`` (e.g. ``graph``) pass through
+    both branches. All the measured plan discipline lives here:
+
+    - nondeterministic guard FIRST in the base filter (see
+      ``rdf_io.parse_ntriples``): without it every deterministic predicate
+      — including the directive rlike — pushes below an upstream
+      union/exchange and re-evaluates per upstream branch (measured
+      38-61s vs ~7s on the 905k-line rendered input);
+    - two-step clean branch: the expensive packed-regex split is projected
+      ONCE into an attribute; every statement column and the malformed
+      filter reference the attribute, and the guard COLUMN rides in the
+      same projection so the filter's predicate stays
+      nondeterministic-derived and cannot be substituted below the
+      projection (measured 33s vs ~7s);
+    - the assist branch filters the ArrowEvalPython OUTPUT struct BEFORE
+      field expansion (a post-expansion filter plans a SECOND
+      ArrowEvalPython that re-runs the parser — round-5 contract test).
+    """
     line = F.col(line_col)
     stripped = F.trim(line)
     fallback = _ttl_fallback_udf(prefixes)
+    carry = [F.col(c) for c in carry_cols]
 
     # assist routing per the ttl_statement_columns contract: raw sentinel
     # bytes AND \u/\U escapes take the exact-Python branch
@@ -432,11 +464,6 @@ def parse_turtle(
         line.contains("\x01") | line.contains("\x02")
         | line.contains("\\u") | line.contains("\\U")
     )
-    # nondeterministic guard FIRST (see rdf_io.parse_ntriples): without it
-    # every deterministic predicate here — including the directive rlike —
-    # pushes below an upstream union/exchange and re-evaluates per
-    # upstream branch (measured 38-61s vs ~7s on the 905k-line rendered
-    # input, whose fixture producer is an 18-branch union)
     nd_guard = F.rand(7) > F.lit(-1.0)
     base = lines.filter(
         nd_guard
@@ -444,14 +471,8 @@ def parse_turtle(
         & ~stripped.startswith("#")
         & ~stripped.rlike(_DIRECTIVE_FILTER)
     )
-    # Two-step clean branch: the expensive packed-regex split is projected
-    # ONCE into an attribute; every statement column and the malformed
-    # filter reference the attribute. The guard COLUMN rides in the same
-    # projection so the filter's predicate stays nondeterministic-derived
-    # and can never be substituted below the projection (which would
-    # re-inline the pack into the predicate — filter predicates get no
-    # subexpression sharing; measured 33s vs ~7s).
     step = base.filter(~needs_py).select(
+        *carry,
         line.alias("_l"),
         (F.rand(17) > F.lit(-1.0)).alias("_g"),
         ttl_packed_parts(line).alias("_parts"),
@@ -464,16 +485,15 @@ def parse_turtle(
     )
     if not keep_malformed:
         step = step.filter(F.col("_g") & cols["_ok"])
-    clean = step.select(*[cols[c].alias(c) for c in out_cols])
-    # the malformed drop filters the ArrowEvalPython OUTPUT struct BEFORE
-    # the field expansion: filtering after `.select("_p.*")` lets
-    # CollapseProject substitute the UDF into the predicate, planning a
-    # SECOND ArrowEvalPython that re-runs the parser just for the filter
-    # (observed in the round-5 contract-test plan)
-    assist = base.filter(needs_py).select(fallback(line).alias("_p"))
+    clean = step.select(
+        *carry_cols, *[cols[c].alias(c) for c in out_cols]
+    )
+    assist = base.filter(needs_py).select(
+        *carry, fallback(line).alias("_p")
+    )
     if not keep_malformed:
         assist = assist.filter(F.col("_p.obj_kind").isNotNull())
-    assist = assist.select("_p.*")
+    assist = assist.select(*carry_cols, "_p.*")
     return clean.unionByName(assist)
 
 
@@ -815,18 +835,42 @@ def _split_statements(text: str, base_iri: str | None = None) -> list[str]:
     ``[...]``/``(...)`` expanded with fresh bnode labels; structurally
     invalid / unterminated statements collapsed to single
     malformed-by-construction lines)."""
+    return [
+        line for _, line in _split_statements_tagged(text, base_iri, trig=False)
+    ]
+
+
+def _split_statements_tagged(
+    text: str, base_iri: str | None = None, trig: bool = True
+) -> list[tuple[str | None, str]]:
+    """Shared Turtle/TriG document splitter → ``(graph, line)`` pairs.
+
+    ``trig=True`` additionally understands graph blocks: ``<g> { … }``,
+    ``_:b { … }``, ``pn:ame { … }``, the optional ``GRAPH`` keyword form,
+    anonymous default-graph blocks ``{ … }``, top-level default-graph
+    statements, and the spec's optional final ``.`` before ``}``.
+    Statements inside a block carry the block's graph label (IRI
+    unbracketed and base-resolved, pname expanded via the directives seen
+    so far, bnode label verbatim); directives and default-graph
+    statements carry ``None``. A malformed block header collapses to a
+    malformed line and its block parses as default-graph (loud — the
+    header lands in the reject bucket, nothing silently vanishes).
+    ``trig=False`` treats braces as not-Turtle (malformed collapse)."""
     if _GEN_BNODE_GUARD.search(text):
         raise ValueError(
             f"document uses the reserved blank-node label prefix "
             f"'{_GEN_BNODE_PREFIX}<n>' that statement re-assembly "
             "synthesizes for [...] / (...) — relabel the input"
         )
-    out: list[str] = []
+    out: list[tuple[str | None, str]] = []
     cur: list[str] = []
     depth = 0
     unsupported = False
     base = base_iri
     gen = [0]
+    prefixes: dict[str, str] = {}
+    cur_graph: str | None = None
+    in_block = False
 
     def flush(terminated: bool) -> None:
         nonlocal cur, unsupported
@@ -834,18 +878,53 @@ def _split_statements(text: str, base_iri: str | None = None) -> list[str]:
             unsupported = False
             return
         if unsupported or not terminated:
-            out.append(" ".join(cur).replace("\n", "\\n"))
+            out.append((cur_graph, " ".join(cur).replace("\n", "\\n")))
         else:
-            out.extend(_expand_statement(cur, gen))
+            out.extend(
+                (cur_graph, ln) for ln in _expand_statement(cur, gen)
+            )
         cur, unsupported = [], False
+
+    def graph_label(tok: str) -> str | None:
+        """Block-header token → graph column value; None = unresolvable."""
+        if tok.startswith("<"):
+            body = tok[1:-1]
+            return body  # already base-resolved by _resolve_tok
+        if tok.startswith("_:"):
+            return tok
+        label, sep, local = tok.partition(":")
+        if sep and prefixes.get(label) is not None:
+            return prefixes[label] + local
+        return None
 
     toks = _tokenize_ttl(text)
     for kind, tok in toks:
-        if kind == "PUNCT" and tok in "{}":
-            # TriG graph braces inside a Turtle document: not Turtle —
-            # collapse the statement into the malformed bucket, loud
-            unsupported = True
-            cur.append(tok)
+        if kind == "PUNCT" and tok == "{":
+            if not trig or in_block or depth > 0:
+                unsupported = True
+                cur.append(tok)
+                continue
+            hdr = list(cur)
+            cur = []
+            if len(hdr) == 2 and hdr[0].lower() == "graph":
+                hdr = hdr[1:]
+            if not hdr:
+                cur_graph, in_block = None, True  # anonymous default block
+            elif len(hdr) == 1 and graph_label(hdr[0]) is not None:
+                cur_graph, in_block = graph_label(hdr[0]), True
+            else:
+                # malformed header: reject it loudly, parse the block's
+                # contents as default-graph statements
+                out.append((None, " ".join([*hdr, "{"]).replace("\n", "\\n")))
+                cur_graph, in_block = None, True
+        elif kind == "PUNCT" and tok == "}":
+            if not trig or not in_block or depth > 0:
+                unsupported = True
+                cur.append(tok)
+                continue
+            # TriG allows the block's final statement to omit its '.'
+            flush(terminated=True)
+            cur_graph, in_block = None, False
         elif kind == "PUNCT" and tok in "[]()":
             depth += 1 if tok in "[(" else -1
             cur.append(tok)
@@ -872,9 +951,11 @@ def _split_statements(text: str, base_iri: str | None = None) -> list[str]:
             rest = [t for k, t in ((k1, t1), (k2, t2)) if t]
             if k2 == "IRI":
                 rest[-1] = _resolve_tok("IRI", t2, base)
-            out.append(" ".join([tok, *rest]) + (
+                if k1 == "WORD" and t1.endswith(":"):
+                    prefixes.setdefault(t1[:-1], rest[-1][1:-1])
+            out.append((None, " ".join([tok, *rest]) + (
                 " ." if tok.startswith("@") else ""
-            ))
+            )))
         else:
             cur.append(_resolve_tok(kind, tok, base))
     flush(terminated=False)
@@ -1058,6 +1139,82 @@ def parse_turtle_docs(
     lines = normalize_turtle_docs(docs, ttl_col, base_iri=base_iri)
     return parse_turtle(
         lines, "value", prefixes=prefixes, keep_malformed=keep_malformed
+    )
+
+
+def normalize_trig_docs(
+    docs: DataFrame,
+    trig_col: str = "trig",
+    carry_cols: tuple[str, ...] = (),
+    base_iri: str | None = None,
+) -> DataFrame:
+    """Whole TriG documents → one ``(graph, value)`` row per normalized
+    statement/directive line, via the shared tokenizer-based re-assembly
+    (``_split_statements_tagged``): full Turtle statement grammar inside
+    graph blocks (multi-line, ``;``/``,`` lists, ``[...]``/``(...)``,
+    ``@base``), ``GRAPH`` keyword and anonymous/default-graph forms,
+    optional final ``.`` before ``}``. ``graph`` is NULL for directives
+    and default-graph statements."""
+    import pandas as pd  # noqa: F811 — local for the executor closure
+
+    carry = list(carry_cols)
+    schema = ", ".join(
+        [f"{c} string" for c in carry] + ["graph string", "value string"]
+    )
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                text = r[trig_col] or ""
+                if len(text) > MAX_TTL_DOC_BYTES:
+                    raise ValueError(
+                        f"TriG document of {len(text)} chars exceeds the "
+                        f"{MAX_TTL_DOC_BYTES}-byte single-document limit — "
+                        "split the dump into parts"
+                    )
+                for g, line in _split_statements_tagged(
+                    text, base_iri=base_iri, trig=True
+                ):
+                    rows.append([*(r[c] for c in carry), g, line])
+            yield pd.DataFrame(rows, columns=[*carry, "graph", "value"])
+
+    return docs.mapInPandas(_norm, schema)
+
+
+def parse_trig_docs(
+    docs: DataFrame,
+    trig_col: str = "trig",
+    prefixes: dict[str, str] | None = None,
+    keep_malformed: bool = False,
+    base_iri: str | None = None,
+    carry_cols: tuple[str, ...] = (),
+    line_transform=None,
+) -> DataFrame:
+    """Full-grammar TriG: whole documents → statement rows with a
+    ``graph`` column — the TriG twin of :func:`parse_turtle_docs`
+    (:func:`parse_trig` remains the line-oriented fast path for dumps in
+    the shape our own renderer emits: no Python re-assembly pass, the
+    explode/window runs fully JVM-side). The normalized line stream is a
+    live Python producer, so the entry materialization checkpoints it
+    once; prefix extraction then reads materialized blocks.
+
+    ``line_transform`` (Column → Column) runs on each normalized
+    statement line before the parse — the hook ``harvest.py`` uses for
+    the line-scoped space-in-IRI pre-process fix-up."""
+    from .rdf_io import ensure_materialized
+
+    lines = normalize_trig_docs(docs, trig_col, carry_cols, base_iri)
+    if line_transform is not None:
+        lines = lines.select(
+            *carry_cols, "graph", line_transform(F.col("value")).alias("value")
+        )
+    lines = ensure_materialized(lines)
+    if prefixes is None:
+        prefixes = extract_prefixes(lines, "value")
+    return _parse_statement_lines(
+        lines, "value", prefixes, keep_malformed,
+        carry_cols=(*carry_cols, "graph"),
     )
 
 

@@ -159,27 +159,25 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
             docs.select(F.col("value").alias("xml")),
             keep_malformed=keep_malformed,
         )
-    from bop_consus_importing_rdf_spark.sources.turtle_io import parse_trig
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        parse_trig_docs,
+    )
 
+    transform = None
     if pre:
         from bop_consus_importing_rdf_spark.sources.rdf_io import (
             pre_process_iri_spaces,
         )
 
-        # line-scoped space-in-IRI fix inside each document (our TriG
-        # subset is line-oriented, so a physical line is a statement)
-        docs = docs.select(
-            F.concat_ws(
-                "\n",
-                F.transform(
-                    F.split(F.col("value"), "\n"),
-                    lambda ln: pre_process_iri_spaces(ln),
-                ),
-            ).alias("value")
-        )
-    return parse_trig(
+        # line-scoped space-in-IRI fix, applied to each RE-ASSEMBLED
+        # statement line (never across statement boundaries)
+        transform = pre_process_iri_spaces
+    base = input_base_iri(path) if "://" not in path else path
+    return parse_trig_docs(
         docs.select(F.col("value").alias("trig")),
         keep_malformed=keep_malformed,
+        base_iri=base,
+        line_transform=transform,
     ).drop("graph")
 
 

@@ -153,6 +153,37 @@ def test_harvest_ttl_matches_nt(spark, tmp_path, graph):
     assert summary["n_dataset_statements"] == exp_stmts
 
 
+def test_harvest_trig_matches_nt(spark, tmp_path, graph):
+    """The same graph harvested from one TRIG file (multiple graph
+    blocks, full-grammar doc path since r5) produces the same dataset and
+    statement counts — graph labels merge into the default graph like the
+    reference loading everything into one Jena model."""
+    from bop_consus_importing_rdf_spark.oracle import SPARK_QUERIES
+
+    from bop_consus_importing_rdf_spark.functions.formats import (
+        prefix_directives,
+    )
+
+    docs = SPARK_QUERIES["trig_render"](spark, SF_DIR).collect()
+    src = tmp_path / "dump.trig"
+    src.write_text(
+        "\n".join(prefix_directives())
+        + "\n"
+        + "\n".join(r.trig for r in docs)
+        + "\n",
+        encoding="utf-8",
+    )
+
+    out = str(tmp_path / "out_trig")
+    summary = run_harvest(spark, str(src), out)
+    exp_stmts, exp_datasets = _expected(spark, graph)
+    assert summary["format"] == "trig"
+    assert summary["n_rejects"] == 0
+    assert summary["n_statements"] == graph.count()
+    assert summary["n_datasets"] == exp_datasets
+    assert summary["n_dataset_statements"] == exp_stmts
+
+
 def test_harvest_bucketed_triple_landing(spark, tmp_path, graph):
     """Forcing the bucketed branch (threshold 0) lands the parse output as
     a bucketed-by-subj external table at OUTPUT/triples and produces the

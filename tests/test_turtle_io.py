@@ -252,6 +252,48 @@ def test_trig_sentinel_bytes_take_fallback(spark):
     }
 
 
+def test_parse_trig_docs_full_grammar(spark):
+    """Round-5: full-grammar TriG documents (multi-line statements,
+    `;`/`,` lists, bnode lists/collections inside blocks, GRAPH keyword,
+    default-graph statements, base-relative graph labels, optional final
+    '.' before '}') parse through the tokenizer-based re-assembly."""
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        parse_trig_docs,
+    )
+
+    doc = (
+        "@base <http://ex.org/g/> .\n"
+        "@prefix ex: <urn:ex:> .\n"
+        '<urn:top> ex:p "default" .\n'
+        "<g1> {\n"
+        "  <urn:a> ex:p <urn:b> ;\n"
+        '          ex:q """two\nlines""" .\n'
+        "  <urn:a> ex:r [ ex:inner <i> ]\n"
+        "}\n"
+        'GRAPH ex:g2 { <urn:c> ex:n ( "v" ) . }\n'
+    )
+    docs = spark.createDataFrame([(doc,)], "trig string")
+    got = parse_trig_docs(docs)
+    assert got.filter(F.col("obj_kind").isNull()).count() == 0
+    rows = {
+        (r.graph, r.subj, r.pred): (r.obj_value, r.obj_kind)
+        for r in got.collect()
+    }
+    g1 = "http://ex.org/g/g1"
+    assert rows[(None, "urn:top", "urn:ex:p")] == ("default", "literal")
+    assert rows[(g1, "urn:a", "urn:ex:p")] == ("urn:b", "iri")
+    assert rows[(g1, "urn:a", "urn:ex:q")] == ("two\nlines", "literal")
+    bnode = rows[(g1, "urn:a", "urn:ex:r")][0]
+    assert bnode.startswith("_:tgen")
+    assert rows[(g1, bnode, "urn:ex:inner")] == ("http://ex.org/g/i", "iri")
+    head = rows[("urn:ex:g2", "urn:c", "urn:ex:n")][0]
+    rdf_ns = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    assert rows[("urn:ex:g2", head, rdf_ns + "first")] == ("v", "literal")
+    assert rows[("urn:ex:g2", head, rdf_ns + "rest")] == (
+        rdf_ns + "nil", "iri"
+    )
+
+
 def test_trig_duplicate_docs_keep_separate_graph_context(spark):
     # the window partition key is an internal per-document id, so
     # byte-identical documents (and non-unique carry_cols) can never share
