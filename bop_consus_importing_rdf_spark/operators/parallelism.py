@@ -101,8 +101,15 @@ def ensure_min_parallelism(
     layer's checkpointed inputs."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
-    size = plan_size_bytes(df)
-    if size == _UNKNOWN_SIZE:
+    qe = df._jdf.queryExecution()
+    size = int(qe.optimizedPlan().stats().sizeInBytes())
+    # RDD-backed plans (checkpoints, df.rdd round-trips): the partition
+    # count IS the physical layout — Spark never re-splits an RDD scan by
+    # bytes, so the file-split estimate below would misread a small-bytes
+    # 64-partition checkpoint as "narrow" and add a pointless shuffle
+    # (measured +8s on the 905k-line NT parse). The probe is cheap here:
+    # the RDD already exists, no physical planning happens.
+    if size == _UNKNOWN_SIZE or qe.analyzed().nodeName() == "LogicalRDD":
         if df.rdd.getNumPartitions() < target:
             return df.repartition(target)
         return df

@@ -231,6 +231,16 @@ def parse_ntriples(
     through untouched) — see its docstring for the measured failure mode.
     """
     lines = ensure_materialized(lines)
+    # fan narrow inputs out to the session parallelism, MATERIALIZED when
+    # it fires (no-op on sized file scans and tiny fixtures) — see
+    # turtle_io._parse_statement_lines for the measured in-plan-exchange
+    # pathology this avoids
+    from ..operators.parallelism import ensure_min_parallelism
+
+    fanned = ensure_min_parallelism(lines, multiplier=8.0)
+    if fanned is not lines:
+        fanned = fanned.localCheckpoint()
+    lines = fanned
 
     @F.pandas_udf(f"struct<{PARSED_SCHEMA}>")
     def _parse_py(s: pd.Series) -> pd.DataFrame:

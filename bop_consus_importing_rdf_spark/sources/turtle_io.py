@@ -453,6 +453,24 @@ def _parse_statement_lines(
       field expansion (a post-expansion filter plans a SECOND
       ArrowEvalPython that re-runs the parser — round-5 contract test).
     """
+    from ..operators.parallelism import ensure_min_parallelism
+
+    # A normalized-line checkpoint inherits the DOCUMENT partitioning (a
+    # handful of partitions for a grouped dump), starving the regex parse
+    # stage — measured 26s on 8 of 32 cores for 905k lines. The guard
+    # fans narrow inputs out to the session parallelism and provably
+    # no-ops on real file scans (which already split) and tiny fixtures.
+    # When it DOES fire, the fan-out must be MATERIALIZED: left in-plan,
+    # predicate pushdown / constraint inference move filter copies below
+    # the repartition exchange onto the narrow source partitions, and the
+    # two branches' differing filters defeat exchange reuse — measured
+    # 22.5s in-plan vs 6.1s materialized for the identical 905k-line
+    # parse (plan skeleton verified: Filter below Exchange, per branch).
+    fanned = ensure_min_parallelism(lines, multiplier=8.0)
+    if fanned is not lines:
+        fanned = fanned.localCheckpoint()
+    lines = fanned
+
     line = F.col(line_col)
     stripped = F.trim(line)
     fallback = _ttl_fallback_udf(prefixes)
