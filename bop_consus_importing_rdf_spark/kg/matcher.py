@@ -72,24 +72,39 @@ def alias_match_table(aliases: DataFrame, validate: bool = True) -> DataFrame:
     return t
 
 
-def best_alias_entities(aliases: DataFrame) -> DataFrame:
-    """``(alias, entity_uri)`` — argmax-prior per alias, min-URI tie-break.
+def best_alias_entities(
+    aliases: DataFrame, include_score: bool = False
+) -> DataFrame:
+    """``(alias, entity_uri[, score])`` — argmax-prior per alias, min-URI
+    tie-break, NULL priors losing to every non-NULL prior.
 
     Distributed twin of ``pipeline.best_alias_map`` (which collects the
-    dictionary): a struct-min aggregate over ``(-prior, entity_uri)``
-    reproduces the same ``min((-prior, uri))`` ordering exactly."""
-    return (
+    dictionary) and of ``linking.link_entities``'s per-occurrence window
+    (``prior DESC`` = nulls LAST in Spark): the struct-min leads with an
+    explicit is-null flag because a bare ``min(struct(-prior, uri))``
+    sorts NULL ``-prior`` FIRST ascending — a single NULL-prior gazetteer
+    row would silently win over a scored one and diverge from the window
+    path (r5 review, verified empirically). ``include_score`` carries the
+    winner's prior as ``score`` (NULL for a NULL-prior winner), matching
+    ``link_entities``'s output column — the one shared definition of this
+    ordering, reused by batch at-scale extraction and streaming ingest."""
+    best = (
         aliases.groupBy("alias")
         .agg(
             F.min(
                 F.struct(
+                    F.col("prior").isNull().cast("int").alias("_null"),
                     (-F.col("prior")).alias("_np"),
                     F.col("entity_uri").alias("_e"),
+                    F.col("prior").alias("_p"),
                 )
             ).alias("_b")
         )
-        .select("alias", F.col("_b._e").alias("entity_uri"))
     )
+    cols = ["alias", F.col("_b._e").alias("entity_uri")]
+    if include_score:
+        cols.append(F.col("_b._p").alias("score"))
+    return best.select(*cols)
 
 
 def turn_candidate_aliases(

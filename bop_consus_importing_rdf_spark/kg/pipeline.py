@@ -100,13 +100,17 @@ def best_alias_map(aliases: DataFrame) -> dict[str, str]:
     on the driver and shipping it as a literal MapType beats a join + window
     over every mention occurrence (the score depends only on the alias, so
     per-occurrence disambiguation is a pure lookup)."""
-    best: dict[str, tuple[float, str]] = {}
+    best: dict[str, tuple[bool, float, str]] = {}
     for r in aliases.collect():
         cur = best.get(r.alias)
-        cand = (-r.prior, r.entity_uri)
+        # NULL priors lose to every scored row (leading is-None flag —
+        # same ordering as matcher.best_alias_entities and the
+        # link_entities window's prior DESC NULLS LAST; bare -r.prior
+        # would TypeError on None)
+        cand = (r.prior is None, -(r.prior or 0.0), r.entity_uri)
         if cur is None or cand < cur:
             best[r.alias] = cand
-    return {a: e for a, (_, e) in best.items()}
+    return {a: e for a, (_, _, e) in best.items()}
 
 
 _STRUCT_ARR_TYPE = (

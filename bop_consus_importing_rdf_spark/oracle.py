@@ -38,6 +38,7 @@ from .functions.formats import (
 )
 from .functions.identify import sql_identify
 from .functions.ntriples import nt_line, sql_nt_line
+from .sources.turtle_io import doc_label_tag as _doc_label_tag
 from .operators.textstats import BPE_TOKEN_PATTERN, LANG_MARKERS
 from .sources.catalog import register_views
 from .vocab import (
@@ -444,20 +445,25 @@ TTL_BNODE_DOC = (
     '  dcat:keyword ( "alpha" "beta" ) .\n'
     "<ds/2> dct:relation ( ) ; dct:source <../src> .\n"
 )
+# synthesized bnode labels are DOCUMENT-scoped (_:tgen-<doc-md5-10>-<n>,
+# r5 review: per-document counters alone would collide across files of a
+# multi-file harvest); the hand-derived expectation derives the same tag
+# from the fixture text via the exported helper
+_TTL_TAG = _doc_label_tag(TTL_BNODE_DOC)
 TTL_BNODE_EXPECTED = [
     f"<http://ex.org/cat/ds/1> <{_RDF}type> <http://www.w3.org/ns/dcat#Dataset> .",
     '<http://ex.org/cat/ds/1> <http://purl.org/dc/terms/title> "Catalog \\"one\\"" .',
-    f"_:tgen1 <{_RDF}type> <http://www.w3.org/ns/dcat#Distribution> .",
-    '_:tgen1 <http://purl.org/dc/terms/format> "CSV" .',
-    "_:tgen1 <http://www.w3.org/ns/dcat#downloadURL> <http://ex.org/cat/files/one.csv> .",
-    '_:tgen2 <http://purl.org/dc/terms/title> "CC0" .',
-    "_:tgen1 <http://purl.org/dc/terms/license> _:tgen2 .",
-    "<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#distribution> _:tgen1 .",
-    f'_:tgen3 <{_RDF}first> "alpha" .',
-    f"_:tgen3 <{_RDF}rest> _:tgen4 .",
-    f'_:tgen4 <{_RDF}first> "beta" .',
-    f"_:tgen4 <{_RDF}rest> <{_RDF}nil> .",
-    "<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#keyword> _:tgen3 .",
+    f"_:tgen-{_TTL_TAG}-1 <{_RDF}type> <http://www.w3.org/ns/dcat#Distribution> .",
+    f'_:tgen-{_TTL_TAG}-1 <http://purl.org/dc/terms/format> "CSV" .',
+    f"_:tgen-{_TTL_TAG}-1 <http://www.w3.org/ns/dcat#downloadURL> <http://ex.org/cat/files/one.csv> .",
+    f'_:tgen-{_TTL_TAG}-2 <http://purl.org/dc/terms/title> "CC0" .',
+    f"_:tgen-{_TTL_TAG}-1 <http://purl.org/dc/terms/license> _:tgen-{_TTL_TAG}-2 .",
+    f"<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#distribution> _:tgen-{_TTL_TAG}-1 .",
+    f'_:tgen-{_TTL_TAG}-3 <{_RDF}first> "alpha" .',
+    f"_:tgen-{_TTL_TAG}-3 <{_RDF}rest> _:tgen-{_TTL_TAG}-4 .",
+    f'_:tgen-{_TTL_TAG}-4 <{_RDF}first> "beta" .',
+    f"_:tgen-{_TTL_TAG}-4 <{_RDF}rest> <{_RDF}nil> .",
+    f"<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#keyword> _:tgen-{_TTL_TAG}-3 .",
     f"<http://ex.org/cat/ds/2> <http://purl.org/dc/terms/relation> <{_RDF}nil> .",
     "<http://ex.org/cat/ds/2> <http://purl.org/dc/terms/source> <http://ex.org/src> .",
 ]
@@ -495,16 +501,17 @@ TRIG_FULL_DOC = (
     'GRAPH ex:g2 { <urn:c> ex:n ( "v" ) . }\n'
 )
 _G1 = "http://ex.org/g/g1"
+_TRIG_TAG = _doc_label_tag(TRIG_FULL_DOC)
 TRIG_FULL_EXPECTED = [
     (None, '<urn:top> <urn:ex:p> "default" .'),
     (_G1, "<urn:a> <urn:ex:p> <urn:b> ."),
     (_G1, '<urn:a> <urn:ex:q> "x" .'),
     (_G1, '<urn:a> <urn:ex:q> "y" .'),
-    (_G1, "_:tgen1 <urn:ex:inner> <http://ex.org/g/i> ."),
-    (_G1, "<urn:a> <urn:ex:r> _:tgen1 ."),
-    ("urn:ex:g2", f'_:tgen2 <{_RDF}first> "v" .'),
-    ("urn:ex:g2", f"_:tgen2 <{_RDF}rest> <{_RDF}nil> ."),
-    ("urn:ex:g2", "<urn:c> <urn:ex:n> _:tgen2 ."),
+    (_G1, f"_:tgen-{_TRIG_TAG}-1 <urn:ex:inner> <http://ex.org/g/i> ."),
+    (_G1, f"<urn:a> <urn:ex:r> _:tgen-{_TRIG_TAG}-1 ."),
+    ("urn:ex:g2", f'_:tgen-{_TRIG_TAG}-2 <{_RDF}first> "v" .'),
+    ("urn:ex:g2", f"_:tgen-{_TRIG_TAG}-2 <{_RDF}rest> <{_RDF}nil> ."),
+    ("urn:ex:g2", f"<urn:c> <urn:ex:n> _:tgen-{_TRIG_TAG}-2 ."),
 ]
 
 

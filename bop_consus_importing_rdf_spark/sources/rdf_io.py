@@ -66,12 +66,28 @@ def ensure_materialized(df: DataFrame) -> DataFrame:
     RDDs, projections over caches — pass through untouched; risky ones are
     ``localCheckpoint``-ed eagerly (blocks are reclaimed by the
     ContextCleaner once the frame is garbage-collected, so no manual
-    unpersist bookkeeping leaks across a long session)."""
+    unpersist bookkeeping leaks across a long session).
+
+    A risky plan that is also NARROW (fewer physical partitions than the
+    session default parallelism — e.g. ``normalize_turtle_docs``'s
+    mapInPandas output, which inherits the document partitioning) is
+    repartitioned BEFORE the checkpoint: the downstream parse fan-out
+    guard (``ensure_min_parallelism``) would otherwise immediately
+    repartition + re-checkpoint the stream, serializing the full line set
+    to block storage twice back-to-back (r5 review). One
+    ``repartition().localCheckpoint()`` serves both the plan-barrier and
+    the fan-out with a single copy, and the later guard provably no-ops
+    on the resulting ≥-parallelism checkpoint RDD. The partition probe
+    plans (but never executes) the risky plan — that one planning pass
+    happens only on plans that are about to be checkpointed anyway."""
     sl = df.storageLevel
     if sl.useMemory or sl.useDisk:
         return df
     plan = df._jdf.queryExecution().withCachedData().toString()
     if any(marker in plan for marker in _RISKY_PRODUCER_MARKERS):
+        target = df.sparkSession.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
         return df.localCheckpoint()
     return df
 

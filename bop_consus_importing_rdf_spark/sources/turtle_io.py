@@ -816,11 +816,26 @@ _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _RDF_FIRST = f"<{_RDF_NS}first>"
 _RDF_REST = f"<{_RDF_NS}rest>"
 _RDF_NIL = f"<{_RDF_NS}nil>"
-#: fresh blank-node labels synthesized for ``[...]`` / ``(...)``. The
-#: prefix is distinctive and guarded: a document that already uses it
-#: raises loudly (silent label collision would merge unrelated bnodes).
-_GEN_BNODE_PREFIX = "_:tgen"
-_GEN_BNODE_GUARD = re.compile(r"_:tgen\d")
+#: fresh blank-node labels synthesized for ``[...]`` / ``(...)``:
+#: ``_:tgen-<doc-md5-10>-<n>``. The md5 tag scopes labels to their
+#: DOCUMENT — counters restarting per document would otherwise collide
+#: across files of a multi-file harvest and silently merge unrelated
+#: bnodes once the graphs union (Jena allocates globally fresh anon ids
+#: per parse; round-5 review finding). Two byte-identical documents share
+#: labels, which is set-idempotent: identical docs emit identical
+#: statements. The prefix is guarded: a document whose own blank-node
+#: labels use it raises loudly.
+_GEN_BNODE_PREFIX = "_:tgen-"
+_GEN_BNODE_GUARD = re.compile(r"_:tgen-")
+
+
+def doc_label_tag(text: str) -> str:
+    """The deterministic per-document label scope tag (md5 prefix of the
+    document bytes) — exposed so fixtures/oracles can derive the expected
+    synthesized labels."""
+    import hashlib
+
+    return hashlib.md5(text.encode("utf-8")).hexdigest()[:10]
 
 
 class _StmtError(Exception):
@@ -874,24 +889,21 @@ def _split_statements_tagged(
     malformed line and its block parses as default-graph (loud — the
     header lands in the reject bucket, nothing silently vanishes).
     ``trig=False`` treats braces as not-Turtle (malformed collapse)."""
-    if _GEN_BNODE_GUARD.search(text):
-        raise ValueError(
-            f"document uses the reserved blank-node label prefix "
-            f"'{_GEN_BNODE_PREFIX}<n>' that statement re-assembly "
-            "synthesizes for [...] / (...) — relabel the input"
-        )
     out: list[tuple[str | None, str]] = []
     cur: list[str] = []
     depth = 0
     unsupported = False
     base = base_iri
-    gen = [0]
+    gen = [0, doc_label_tag(text)]
     prefixes: dict[str, str] = {}
     cur_graph: str | None = None
     in_block = False
 
     def flush(terminated: bool) -> None:
-        nonlocal cur, unsupported
+        nonlocal cur, unsupported, depth
+        # depth is statement-scoped: an unbalanced statement must not
+        # poison bracket tracking for everything after it (r5 review)
+        depth = 0
         if not cur:
             unsupported = False
             return
@@ -917,13 +929,24 @@ def _split_statements_tagged(
 
     toks = _tokenize_ttl(text)
     for kind, tok in toks:
-        if kind == "PUNCT" and tok == "{":
+        if kind == "WORD" and _GEN_BNODE_GUARD.match(tok):
+            # guard in blank-node-LABEL position only (a literal merely
+            # containing the string is fine — r5 review): a document using
+            # the reserved prefix for its own labels would silently merge
+            # with synthesized nodes
+            raise ValueError(
+                f"document uses the reserved blank-node label prefix "
+                f"'{_GEN_BNODE_PREFIX}' that statement re-assembly "
+                "synthesizes for [...] / (...) — relabel the input"
+            )
+        elif kind == "PUNCT" and tok == "{":
             if not trig or in_block or depth > 0:
                 unsupported = True
                 cur.append(tok)
                 continue
             hdr = list(cur)
-            cur = []
+            # the header tokens are consumed — their flags go with them
+            cur, unsupported, depth = [], False, 0
             if len(hdr) == 2 and hdr[0].lower() == "graph":
                 hdr = hdr[1:]
             if not hdr:
@@ -944,7 +967,15 @@ def _split_statements_tagged(
             flush(terminated=True)
             cur_graph, in_block = None, False
         elif kind == "PUNCT" and tok in "[]()":
-            depth += 1 if tok in "[(" else -1
+            if tok in "[(":
+                depth += 1
+            elif depth > 0:
+                depth -= 1
+            else:
+                # stray closer at depth 0: malformed content, and depth
+                # must not go negative (a later legitimate bracket would
+                # otherwise mis-track — r5 review)
+                unsupported = True
             cur.append(tok)
         elif kind == "PUNCT" and tok == "." and depth <= 0:
             flush(terminated=True)
@@ -980,9 +1011,9 @@ def _split_statements_tagged(
     return out
 
 
-def _fresh(gen: list[int]) -> str:
+def _fresh(gen: list) -> str:
     gen[0] += 1
-    return f"{_GEN_BNODE_PREFIX}{gen[0]}"
+    return f"{_GEN_BNODE_PREFIX}{gen[1]}-{gen[0]}"
 
 
 def _parse_node(toks: list[str], i: int, lines: list[str], gen: list[int]):
@@ -1096,15 +1127,19 @@ def normalize_turtle_docs(
     ttl_col: str = "ttl",
     carry_cols: tuple[str, ...] = (),
     base_iri: str | None = None,
+    base_iri_col: str | None = None,
 ) -> DataFrame:
     """Whole Turtle documents → one normalized statement/directive line per
     row (column ``value`` + ``carry_cols``), via an Arrow-batched
     per-document re-assembly pass.
 
-    ``base_iri`` is the per-document initial base for relative-IRI
-    resolution (the reference passes the request address as ``baseUri``,
-    ``Flows.kt:69``); an ``@base`` directive inside a document overrides
-    it from that point on. Relative IRIs with no in-scope base raise.
+    ``base_iri`` is the initial base for relative-IRI resolution (the
+    reference passes the request address as ``baseUri``, ``Flows.kt:69``);
+    an ``@base`` directive inside a document overrides it from that point
+    on. Relative IRIs with no in-scope base raise. ``base_iri_col`` names
+    a PER-ROW base column instead (e.g. ``input_file_name()`` for a
+    multi-file read — each document must resolve against its OWN address,
+    not a shared directory path; r5 review) and wins over ``base_iri``.
 
     Parallelism is ACROSS documents — a single multi-GB ``.ttl`` dump
     normalizes in one task (and past ``MAX_TTL_DOC_BYTES`` raises with
@@ -1129,7 +1164,10 @@ def normalize_turtle_docs(
                         "split the dump into parts (statement re-assembly "
                         "parallelizes across documents, not within one)"
                     )
-                for line in _split_statements(text, base_iri=base_iri):
+                # per-row base wins; '' (input_file_name on a non-file
+                # source) falls back to the shared base
+                base = (r[base_iri_col] if base_iri_col else None) or base_iri
+                for line in _split_statements(text, base_iri=base):
                     rows.append([*(r[c] for c in carry), line])
             yield pd.DataFrame(rows, columns=[*carry, "value"])
 
@@ -1142,6 +1180,7 @@ def parse_turtle_docs(
     prefixes: dict[str, str] | None = None,
     keep_malformed: bool = False,
     base_iri: str | None = None,
+    base_iri_col: str | None = None,
 ) -> DataFrame:
     """Full-grammar Turtle: whole documents → statement rows.
 
@@ -1154,7 +1193,9 @@ def parse_turtle_docs(
     ``parse_turtle``'s entry materialization (see ``_ensure_materialized``)
     checkpoints it once — the re-assembly pass runs exactly once no matter
     how many branches consume it."""
-    lines = normalize_turtle_docs(docs, ttl_col, base_iri=base_iri)
+    lines = normalize_turtle_docs(
+        docs, ttl_col, base_iri=base_iri, base_iri_col=base_iri_col
+    )
     return parse_turtle(
         lines, "value", prefixes=prefixes, keep_malformed=keep_malformed
     )
@@ -1165,6 +1206,7 @@ def normalize_trig_docs(
     trig_col: str = "trig",
     carry_cols: tuple[str, ...] = (),
     base_iri: str | None = None,
+    base_iri_col: str | None = None,
 ) -> DataFrame:
     """Whole TriG documents → one ``(graph, value)`` row per normalized
     statement/directive line, via the shared tokenizer-based re-assembly
@@ -1191,8 +1233,9 @@ def normalize_trig_docs(
                         f"{MAX_TTL_DOC_BYTES}-byte single-document limit — "
                         "split the dump into parts"
                     )
+                base = (r[base_iri_col] if base_iri_col else None) or base_iri
                 for g, line in _split_statements_tagged(
-                    text, base_iri=base_iri, trig=True
+                    text, base_iri=base, trig=True
                 ):
                     rows.append([*(r[c] for c in carry), g, line])
             yield pd.DataFrame(rows, columns=[*carry, "graph", "value"])
@@ -1208,6 +1251,7 @@ def parse_trig_docs(
     base_iri: str | None = None,
     carry_cols: tuple[str, ...] = (),
     line_transform=None,
+    base_iri_col: str | None = None,
 ) -> DataFrame:
     """Full-grammar TriG: whole documents → statement rows with a
     ``graph`` column — the TriG twin of :func:`parse_turtle_docs`
@@ -1222,7 +1266,9 @@ def parse_trig_docs(
     the line-scoped space-in-IRI pre-process fix-up."""
     from .rdf_io import ensure_materialized
 
-    lines = normalize_trig_docs(docs, trig_col, carry_cols, base_iri)
+    lines = normalize_trig_docs(
+        docs, trig_col, carry_cols, base_iri, base_iri_col=base_iri_col
+    )
     if line_transform is not None:
         lines = lines.select(
             *carry_cols, "graph", line_transform(F.col("value")).alias("value")

@@ -53,6 +53,7 @@ def stream_extract_triples(
     from ..kg.linking import explode_mentions, link_entities
     from ..kg.matcher import (
         alias_match_table,
+        best_alias_entities,
         mentions_from_candidates,
         turn_candidate_aliases,
     )
@@ -68,24 +69,11 @@ def stream_extract_triples(
     else:
         match_table = alias_match_table(aliases)
         # argmax-prior per alias WITH its score — the exact per-occurrence
-        # result of link_entities' (prior desc, entity_uri asc) window,
-        # precomputed once per alias instead of once per mention
-        best_scored = (
-            aliases.groupBy("alias")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-F.col("prior")).alias("_np"),
-                        F.col("entity_uri").alias("_e"),
-                    )
-                ).alias("_b")
-            )
-            .select(
-                "alias",
-                F.col("_b._e").alias("entity_uri"),
-                (-F.col("_b._np")).alias("score"),
-            )
-        )
+        # result of link_entities' (prior desc nulls-last, entity_uri asc)
+        # window, precomputed once per alias instead of once per mention.
+        # ONE shared definition of that ordering (matcher.py) — an inline
+        # struct-min here previously diverged on NULL priors (r5 review)
+        best_scored = best_alias_entities(aliases, include_score=True)
 
     stream = (
         spark.readStream.schema(TRANSCRIPTS_SCHEMA)

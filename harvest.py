@@ -137,13 +137,24 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
             parse_turtle,
         )
 
-        # the document address is the base IRI, exactly the reference's
-        # JenaUtils.read(content, contentType, address) at Flows.kt:69
+        # EACH DOCUMENT's own address is its base IRI, exactly the
+        # reference's JenaUtils.read(content, contentType, address) at
+        # Flows.kt:69 — with a directory input, a per-path base would
+        # resolve every file's relative IRIs against the directory URI
+        # (RFC 3986 strips the last segment), silently mis-addressing
+        # them (r5 review). input_file_name() is the per-row file URI;
+        # the whole-path base stays as the fallback for sources where
+        # it is empty.
         base = (
             input_base_iri(path) if "://" not in path else path
         )
         lines = normalize_turtle_docs(
-            docs.select(F.col("value").alias("ttl")), base_iri=base
+            docs.select(
+                F.col("value").alias("ttl"),
+                F.input_file_name().alias("_src"),
+            ),
+            base_iri=base,
+            base_iri_col="_src",
         )
         if pre:
             lines = lines.select(
@@ -172,11 +183,16 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
         # line-scoped space-in-IRI fix, applied to each RE-ASSEMBLED
         # statement line (never across statement boundaries)
         transform = pre_process_iri_spaces
+    # per-document base (input_file_name), same as the ttl path above
     base = input_base_iri(path) if "://" not in path else path
     return parse_trig_docs(
-        docs.select(F.col("value").alias("trig")),
+        docs.select(
+            F.col("value").alias("trig"),
+            F.input_file_name().alias("_src"),
+        ),
         keep_malformed=keep_malformed,
         base_iri=base,
+        base_iri_col="_src",
         line_transform=transform,
     ).drop("graph")
 

@@ -17,6 +17,7 @@ from bop_consus_importing_rdf_spark.sources.turtle_io import (
     XSD_DECIMAL,
     XSD_DOUBLE,
     XSD_INTEGER,
+    doc_label_tag,
     extract_prefixes,
     parse_trig,
     parse_turtle,
@@ -329,6 +330,7 @@ def test_split_statements_expands_lists_and_normalizes_strings():
         "<urn:unterminated> ex:p \"v\"\n"
     )
     got = _split_statements(doc)
+    tg = f"_:tgen-{doc_label_tag(doc)}"
     assert got == [
         "@prefix ex: <urn:p:> .",
         "PREFIX dct: <http://purl.org/dc/terms/>",
@@ -339,9 +341,9 @@ def test_split_statements_expands_lists_and_normalizes_strings():
         '<urn:ds:1> ex:note "tri\\"ple\\ntext\\u0041"^^ex:dt .',
         "ex:s2 ex:p <urn:o> .",
         "ex:s2 ex:q 1.5 .",
-        # round-5: bnode property lists expand with fresh labels
-        '_:tgen1 ex:inner "x" .',
-        "<urn:bpl> ex:p _:tgen1 .",
+        # round-5: bnode property lists expand with fresh DOC-SCOPED labels
+        f'{tg}-1 ex:inner "x" .',
+        f"<urn:bpl> ex:p {tg}-1 .",
         # unterminated still collapses to malformed-by-construction
         '<urn:unterminated> ex:p "v"',
     ]
@@ -360,18 +362,19 @@ def test_split_statements_bnode_collections_and_base():
         "      ex:items ( <i1> \"two\" ) ; ex:empty ( ) .\n"
         "[ ex:standalone \"y\" ] .\n"
     )
+    tg = f"_:tgen-{doc_label_tag(doc)}"
     assert _split_statements(doc) == [
         "@prefix ex: <http://ex.org/base/vocab#> .",
-        "_:tgen1 a ex:Dist .",
-        "_:tgen1 ex:url <http://ex.org/base/files/d.csv> .",
-        "<http://ex.org/base/ds1> ex:dist _:tgen1 .",
-        f"_:tgen2 <{RDF}first> <http://ex.org/base/i1> .",
-        f"_:tgen2 <{RDF}rest> _:tgen3 .",
-        f'_:tgen3 <{RDF}first> "two" .',
-        f"_:tgen3 <{RDF}rest> <{RDF}nil> .",
-        "<http://ex.org/base/ds1> ex:items _:tgen2 .",
+        f"{tg}-1 a ex:Dist .",
+        f"{tg}-1 ex:url <http://ex.org/base/files/d.csv> .",
+        f"<http://ex.org/base/ds1> ex:dist {tg}-1 .",
+        f"{tg}-2 <{RDF}first> <http://ex.org/base/i1> .",
+        f"{tg}-2 <{RDF}rest> {tg}-3 .",
+        f'{tg}-3 <{RDF}first> "two" .',
+        f"{tg}-3 <{RDF}rest> <{RDF}nil> .",
+        f"<http://ex.org/base/ds1> ex:items {tg}-2 .",
         f"<http://ex.org/base/ds1> ex:empty <{RDF}nil> .",
-        '_:tgen4 ex:standalone "y" .',
+        f'{tg}-4 ex:standalone "y" .',
     ]
 
 
@@ -405,9 +408,15 @@ def test_split_statements_loud_failures():
         "<rel> <urn:p> <urn:o> .\n", base_iri="http://h/x/"
     )
     assert got == ["<http://h/x/rel> <urn:p> <urn:o> ."]
-    # a document using the reserved synthesized label prefix
+    # a document using the reserved synthesized label prefix in
+    # blank-node-LABEL position raises ...
     with _pytest.raises(ValueError, match="reserved"):
-        _split_statements("_:tgen1 <urn:p> <urn:o> .\n")
+        _split_statements("_:tgen-deadbeef01-1 <urn:p> <urn:o> .\n")
+    # ... but a LITERAL merely containing the string is valid input
+    # (r5 review: the guard checks label tokens, not raw document text)
+    assert _split_statements(
+        '<urn:s> <urn:p> "see _:tgen-deadbeef01-1 here" .\n'
+    ) == ['<urn:s> <urn:p> "see _:tgen-deadbeef01-1 here" .']
     # TriG braces inside Turtle collapse to the malformed bucket (the '.'
     # inside the block flushes the open fragment; both pieces are loud)
     assert _split_statements("<urn:g> { <urn:a> <urn:p> <urn:o> . }\n") == [
