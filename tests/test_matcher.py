@@ -99,3 +99,41 @@ def test_alias_match_table_validation_raises(spark):
     assert [(r.first_token, r.alias) for r in t.collect()] == [
         ("fine", "fine alias")
     ]
+
+
+def test_best_alias_null_priors_lose_across_all_three_paths(spark):
+    """r5 review: NULL priors must lose to every scored row, identically in
+    the struct-min aggregate, the driver-collected map, and link_entities'
+    window (prior DESC = nulls LAST in Spark). A bare min(struct(-prior,
+    uri)) sorts NULL first ascending and silently flips the winner."""
+    from bop_consus_importing_rdf_spark.kg.linking import link_entities
+    from bop_consus_importing_rdf_spark.kg.pipeline import best_alias_map
+
+    gaz = spark.createDataFrame(
+        [
+            ("m", "urn:e:scored", 0.4),
+            ("m", "urn:e:null", None),   # must lose despite min URI sort
+            ("only-null", "urn:e:n2", None),
+            ("only-null", "urn:e:n1", None),  # ties break on min URI
+        ],
+        "alias string, entity_uri string, prior double",
+    )
+    via_agg = {
+        r.alias: (r.entity_uri, r.score)
+        for r in best_alias_entities(gaz, include_score=True).collect()
+    }
+    assert via_agg == {
+        "m": ("urn:e:scored", 0.4),
+        "only-null": ("urn:e:n1", None),
+    }
+    via_map = best_alias_map(gaz)
+    assert via_map == {a: e for a, (e, _) in via_agg.items()}
+    mentions = spark.createDataFrame(
+        [("c", 0, 0, "m"), ("c", 0, 1, "only-null")],
+        "conv_id string, turn_idx int, mention_pos int, alias string",
+    )
+    via_window = {
+        r.alias: (r.entity_uri, r.score)
+        for r in link_entities(mentions, gaz).collect()
+    }
+    assert via_window == via_agg
