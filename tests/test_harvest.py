@@ -289,3 +289,33 @@ def test_harvest_resume_skips_parse(spark, tmp_path, graph):
     for k in ("n_statements", "n_rejects", "n_datasets",
               "n_dataset_statements"):
         assert second[k] == first[k], k
+
+
+def test_harvest_multi_file_dir_per_doc_bases_and_labels(spark, tmp_path):
+    """r5 review: with a DIRECTORY input, each file's relative IRIs resolve
+    against that file's OWN address (input_file_name — the reference passes
+    each document's address as baseUri, Flows.kt:69), and synthesized
+    bnode labels are document-scoped so bnode subtrees from different
+    files can never merge in the combined triple table."""
+    from harvest import load_triples
+
+    d = tmp_path / "dumps"
+    d.mkdir()
+    doc = "<> <urn:p:self> \"{n}\" .\n<urn:s:{n}> <urn:p:dist> [ <urn:p:inner> \"{n}\" ] .\n"
+    (d / "a.ttl").write_text(doc.format(n="a"), encoding="utf-8")
+    (d / "b.ttl").write_text(doc.format(n="b"), encoding="utf-8")
+
+    rows = load_triples(
+        spark, str(d), "ttl", pre=False, keep_malformed=False
+    ).collect()
+    assert len(rows) == 6 and all(r.obj_kind is not None for r in rows)
+    # <> resolved to each file's own URI, not the shared directory path
+    selfs = sorted(
+        r.subj for r in rows if r.pred == "urn:p:self"
+    )
+    assert selfs == [f"file://{d}/a.ttl", f"file://{d}/b.ttl"]
+    # the two [...] subtrees got DISTINCT labels despite per-doc counters
+    labels = {
+        r.obj_value for r in rows if r.pred == "urn:p:dist"
+    }
+    assert len(labels) == 2 and all(l.startswith("_:tgen-") for l in labels)
