@@ -111,3 +111,49 @@ def test_split_statements_roundtrip_property(lits):
     got_lits = [p[2] for p in parsed if p[1] == "urn:p:list"]
     assert got_lits == lits
     assert parsed[-1][:3] == ("urn:s", "urn:p:last", "urn:o")
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_split_statements_bnode_collection_property(lits):
+    """Adversarial literals (brackets, parens, dots, quotes, newlines)
+    INSIDE a bnode property list and a collection: re-assembly emits a
+    well-formed statement set whose structure walks back to the original
+    values — the tokenizer must never let literal content drive bracket
+    depth or statement splitting."""
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _parse_one_ttl,
+        _split_statements,
+    )
+
+    def lit(s: str) -> str:
+        if "\n" in s or "\r" in s:
+            return f'"""{_ttl_escape_long(s)}"""'
+        return f'"{_ttl_escape_short(s)}"'
+
+    head, rest = lits[0], lits[1:]
+    doc = (
+        "<urn:s> <urn:p:dist> [ <urn:p:inner> " + lit(head)
+        + " ; <urn:p:more> ( " + " ".join(lit(s) for s in rest) + " ) ] .\n"
+    )
+    parsed = [_parse_one_ttl(x, {}) for x in _split_statements(doc)]
+    assert all(p[3] is not None for p in parsed), parsed
+    by_sp = {(p[0], p[1]): p[2] for p in parsed}
+    bnode = by_sp[("urn:s", "urn:p:dist")]
+    assert bnode.startswith("_:tgen-")
+    assert by_sp[(bnode, "urn:p:inner")] == head
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    # walk the first/rest chain; empty collection is rdf:nil directly
+    node, got = by_sp[(bnode, "urn:p:more")], []
+    while node != rdf + "nil":
+        got.append(by_sp[(node, rdf + "first")])
+        node = by_sp[(node, rdf + "rest")]
+    assert got == rest
