@@ -255,6 +255,15 @@ ROUND5_MD = """
   in-memory fixture graph, so nt_render now pays its own graph build
   from parquet; the work moved between line items (total still down 7.4s).
   bucketed_landing_sec (untimed setup, the ingest artifact): 10.6s.
+- **Post-review re-bench** (same 3-pass methodology, after the r5 review
+  fixes incl. folding the parse fan-out INTO the entry checkpoint — one
+  materialization of the normalized line stream instead of two): **total
+  29.9s min-of-3** (split_datasets 11.4s, kg_pipeline 5.8s, nt_parse
+  4.6s, minhash_lsh_pairs 3.1s, nt_render 1.4s, landing 9.3s). Part of
+  the delta vs the 34.7s entry above is a quieter host window (every
+  query moved, including ones the fix can't touch), so the single-copy
+  claim rests on the test-pinned plan shape
+  (test_materialize_folds_fanout_single_checkpoint), not the wall delta.
 """
 
 
