@@ -430,7 +430,7 @@ def q_ttl_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # feed a DuckDB VALUES clause. Covers: bnode property lists (nested),
 # collections incl. (), @base + relative IRIs incl. ../ dot segments,
 # long-string bodies ending in a quote (ADVICE r4), prefix-IRI base
-# resolution.
+# resolution, mid-document prefix redefinition (scoped maps).
 _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 TTL_BNODE_DOC = (
     "@base <http://ex.org/cat/> .\n"
@@ -444,6 +444,11 @@ TTL_BNODE_DOC = (
     '      dct:license [ dct:title "CC0" ] ] ;\n'
     '  dcat:keyword ( "alpha" "beta" ) .\n'
     "<ds/2> dct:relation ( ) ; dct:source <../src> .\n"
+    # mid-document prefix REDEFINITION (scoped maps, spec-legal): the
+    # re-assembler inline-expands dct: pnames from here on so the
+    # file-global downstream prefix map never sees the conflict
+    "@prefix dct: <urn:redef:> .\n"
+    '<ds/2> dct:note "scoped" .\n'
 )
 # synthesized bnode labels are DOCUMENT-scoped (_:tgen-<doc-md5-10>-<n>,
 # r5 review: per-document counters alone would collide across files of a
@@ -466,6 +471,7 @@ TTL_BNODE_EXPECTED = [
     f"<http://ex.org/cat/ds/1> <http://www.w3.org/ns/dcat#keyword> _:tgen-{_TTL_TAG}-3 .",
     f"<http://ex.org/cat/ds/2> <http://purl.org/dc/terms/relation> <{_RDF}nil> .",
     "<http://ex.org/cat/ds/2> <http://purl.org/dc/terms/source> <http://ex.org/src> .",
+    '<http://ex.org/cat/ds/2> <urn:redef:note> "scoped" .',
 ]
 
 

@@ -36,7 +36,11 @@ collections ``(...)`` (``rdf:first``/``rdf:rest`` chains), and
 ``@base``/``BASE`` with full RFC 3986 relative-IRI resolution (the
 document pass sees directives in order; ``base_iri`` mirrors the
 ``baseUri`` argument of the reference's ``JenaUtils.read``,
-``Flows.kt:69``).
+``Flows.kt:69``), and mid-document PREFIX REDEFINITION (scoped prefix
+maps): the re-assembler emits each label's first binding as a directive
+and inline-expands pnames to full IRIs while a conflicting later binding
+is in scope, so the line parser's file-global map never sees the
+conflict (Jena honors directive order the same way).
 
 Loud-failure policy (never silent): a relative IRI with no in-scope base
 raises (Jena always has the request address as base; a caller without one
@@ -838,6 +842,15 @@ def doc_label_tag(text: str) -> str:
     return hashlib.md5(text.encode("utf-8")).hexdigest()[:10]
 
 
+#: a STRING token's trailing ``^^pname`` datatype suffix: greedy head eats
+#: through the literal's FINAL quote (internal quotes are escaped ``\"``
+#: after normalization), so the suffix match can never start inside the body
+_DT_PNAME_SUFFIX = re.compile(
+    r'^(?P<head>.*")\^\^(?P<label>[^<>:"\s]*):(?P<local>[^<>:"\s]*)$',
+    re.DOTALL,
+)
+
+
 class _StmtError(Exception):
     """Structurally invalid statement — collapses to one malformed line."""
 
@@ -896,8 +909,31 @@ def _split_statements_tagged(
     base = base_iri
     gen = [0, doc_label_tag(text)]
     prefixes: dict[str, str] = {}
+    #: binding each label was EMITTED as a directive under; labels whose
+    #: CURRENT binding differs (spec-legal mid-document redefinition —
+    #: Turtle prefix maps are scoped, the line parser's is file-global)
+    #: land in ``redefined`` and their pnames are expanded inline from
+    #: that point on, mirroring ``_expand_pname``'s plain ns+local concat
+    emitted: dict[str, str] = {}
+    redefined: set[str] = set()
     cur_graph: str | None = None
     in_block = False
+
+    def expand_redefined(kind: str, tok: str) -> str:
+        """Inline-expand pnames of redefined prefixes to full IRIs so the
+        file-global downstream map never sees the conflict."""
+        if kind == "WORD" and not tok.startswith("_:"):
+            label, sep, local = tok.partition(":")
+            if sep and label in redefined:
+                return f"<{prefixes[label]}{local}>"
+        elif kind == "STRING" and not tok.endswith(">"):
+            m = _DT_PNAME_SUFFIX.match(tok)
+            if m and m.group("label") in redefined:
+                return (
+                    f"{m.group('head')}^^"
+                    f"<{prefixes[m.group('label')]}{m.group('local')}>"
+                )
+        return tok
 
     def flush(terminated: bool) -> None:
         nonlocal cur, unsupported, depth
@@ -1001,12 +1037,29 @@ def _split_statements_tagged(
             if k2 == "IRI":
                 rest[-1] = _resolve_tok("IRI", t2, base)
                 if k1 == "WORD" and t1.endswith(":"):
-                    prefixes.setdefault(t1[:-1], rest[-1][1:-1])
+                    label, ns = t1[:-1], rest[-1][1:-1]
+                    prefixes[label] = ns
+                    if label not in emitted:
+                        emitted[label] = ns
+                    elif emitted[label] == ns:
+                        # rebound back to the emitted binding (A→B→A):
+                        # pnames may ride the global map again
+                        redefined.discard(label)
+                        continue
+                    else:
+                        # conflicting redefinition: suppress the directive
+                        # (the file-global downstream map would raise) and
+                        # expand this prefix's pnames inline from here on
+                        redefined.add(label)
+                        continue
             out.append((None, " ".join([tok, *rest]) + (
                 " ." if tok.startswith("@") else ""
             )))
         else:
-            cur.append(_resolve_tok(kind, tok, base))
+            resolved = _resolve_tok(kind, tok, base)
+            if redefined:
+                resolved = expand_redefined(kind, resolved)
+            cur.append(resolved)
     flush(terminated=False)
     return out
 

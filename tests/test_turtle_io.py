@@ -517,3 +517,62 @@ def test_parse_turtle_docs_bnode_lists_end_to_end(spark):
     nxt = rows[(head, rdf_ns + "rest")][0]
     assert rows[(nxt, rdf_ns + "first")] == ("b", "literal")
     assert rows[(nxt, rdf_ns + "rest")] == (rdf_ns + "nil", "iri")
+
+
+def test_split_statements_prefix_redefinition():
+    """Spec-legal mid-document prefix redefinition (scoped maps): the
+    re-assembler emits the FIRST binding as a directive and inline-expands
+    pnames (incl. ^^datatype suffixes and TriG graph labels) while a
+    conflicting binding is in scope — the downstream file-global prefix
+    map never sees the conflict. Rebinding back (A→B→A) returns to pname
+    form. A ``^^`` inside a literal body never triggers expansion."""
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        _split_statements,
+        _split_statements_tagged,
+    )
+
+    doc = (
+        "@prefix ex: <urn:a:> .\n"
+        "ex:s ex:p ex:o .\n"
+        "@prefix ex: <urn:b:> .\n"
+        'ex:s ex:p "x \\" y^^ex:fake"^^ex:dt .\n'
+        "@prefix ex: <urn:a:> .\n"
+        "ex:s2 a ex:T .\n"
+    )
+    assert _split_statements(doc) == [
+        "@prefix ex: <urn:a:> .",
+        "ex:s ex:p ex:o .",
+        '<urn:b:s> <urn:b:p> "x \\" y^^ex:fake"^^<urn:b:dt> .',
+        "ex:s2 a ex:T .",
+    ]
+    trig = (
+        "@prefix g: <urn:g1:> .\n"
+        "@prefix g: <urn:g2:> .\n"
+        "g:x { <urn:s> <urn:p> <urn:o> . }\n"
+    )
+    assert _split_statements_tagged(trig, trig=True) == [
+        (None, "@prefix g: <urn:g1:> ."),
+        ("urn:g2:x", "<urn:s> <urn:p> <urn:o> ."),
+    ]
+
+
+def test_parse_turtle_docs_prefix_redefinition_e2e(spark):
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        parse_turtle_docs,
+    )
+
+    doc = (
+        "@prefix ex: <urn:a:> .\n"
+        "ex:s ex:p ex:o .\n"
+        "@prefix ex: <urn:b:> .\n"
+        'ex:s ex:p "v"^^ex:dt .\n'
+    )
+    rows = parse_turtle_docs(
+        spark.createDataFrame([(doc,)], "ttl string")
+    ).collect()
+    got = {(r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_datatype)
+           for r in rows}
+    assert got == {
+        ("urn:a:s", "urn:a:p", "urn:a:o", "iri", None),
+        ("urn:b:s", "urn:b:p", "v", "literal", "urn:b:dt"),
+    }
