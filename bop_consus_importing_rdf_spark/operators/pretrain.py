@@ -1,0 +1,141 @@
+"""Pre-training corpus preparation operators beyond filtering/dedup.
+
+Three pipeline stages every large-scale training-data build needs and the
+reference's catalogue scope stops short of (SURVEY §2.8 lists them as the
+LLM-pipeline extension surface):
+
+- :func:`redact_pii` — PII scrubbing (emails, IPv4 addresses, canonical
+  phone numbers) as a pure ``regexp_replace`` chain. The C4/Dolma-style
+  pass that must run over every byte of a 100 TB corpus, so it has to be
+  a zero-shuffle JVM map — no Python, no UDF.
+- :func:`sample_stratified` — deterministic per-stratum downsampling via
+  md5 bucketing. Reproducible across engines and runs (no RNG state), a
+  pure map, and the sampling decision embeds in the scan filter so
+  Catalyst can pipeline it into the first stage.
+- :func:`pack_sequences` — greedy token-budget packing of documents into
+  training sequences, per shard. Real pipelines concatenate documents in
+  a stable order and cut at the token budget; packing WITHIN a shard key
+  (here ``source``) keeps the window partitioned — no global sort, no
+  single-reducer cumulative sum at 100 TB.
+
+Everything matches a DuckDB-SQL twin value-for-value (the driver oracle);
+all expressions are built-in column functions, codegen-eligible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# PII patterns. Kept deliberately engine-portable: every construct below
+# (character classes, bounded repetition, \b) means the same thing to
+# Java's regex engine (Spark) and RE2 (DuckDB). No backreferences, no
+# lookaround — RE2 has neither.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+#: canonical international-ish form only (+C-AAA-BBB-NNNN with - or space
+#: separators); deliberately narrow — a greedy free-form phone regex is
+#: where regex engines disagree and real pipelines over-redact.
+PHONE_PATTERN = r"\+\d{1,2}[- ]\d{3}[- ]\d{3,4}[- ]\d{4}"
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+PHONE_TOKEN = "<PHONE>"
+
+
+def _count_matches(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace emails / IPv4s / canonical phone numbers with typed tokens.
+
+    Appends ``redacted`` (the scrubbed text) and per-category match counts
+    ``n_emails`` / ``n_ips`` / ``n_phones`` (counted BEFORE replacement).
+    Order matters and is fixed: emails first (an email's domain must not
+    be half-eaten by the IP pass when it is dotted-numeric), then IPs,
+    then phones. Pure column expressions — one projection, no shuffle.
+    """
+    t = F.col(text_col)
+    scrubbed = F.regexp_replace(t, EMAIL_PATTERN, EMAIL_TOKEN)
+    scrubbed = F.regexp_replace(scrubbed, IPV4_PATTERN, IP_TOKEN)
+    scrubbed = F.regexp_replace(scrubbed, PHONE_PATTERN, PHONE_TOKEN)
+    return (
+        df.withColumn("n_emails", _count_matches(t, EMAIL_PATTERN))
+        .withColumn("n_ips", _count_matches(F.regexp_replace(t, EMAIL_PATTERN, EMAIL_TOKEN), IPV4_PATTERN))
+        .withColumn("n_phones", _count_matches(t, PHONE_PATTERN))
+        .withColumn("redacted", scrubbed)
+    )
+
+
+def md5_bucket(id_col: Column, n_buckets: int = 100) -> Column:
+    """Deterministic [0, n_buckets) bucket from the md5 of the id's string
+    form. Engine-portable: DuckDB computes the identical value as
+    ``('0x' || substring(md5(id::varchar), 1, 8))::bigint % n``. Eight hex
+    digits = 32 bits — fits a long with no overflow ambiguity.
+    """
+    hex8 = F.substring(F.md5(id_col.cast("string")), 1, 8)
+    return (F.conv(hex8, 16, 10).cast("long") % n_buckets).cast("int")
+
+
+def sample_stratified(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, int],
+    default_rate: int = 0,
+    n_buckets: int = 100,
+) -> DataFrame:
+    """Keep a deterministic ``rates[stratum]``/``n_buckets`` fraction of
+    each stratum (e.g. downweight over-represented languages in a corpus
+    mix). A row survives iff ``md5_bucket(id) < rate(stratum)``.
+
+    Scale notes: the predicate is a pure function of the row — no
+    sampling state, no shuffle, re-runs and backfills pick the exact same
+    rows. Appends ``bucket`` so downstream audits can verify the rate.
+    """
+    bucket = md5_bucket(F.col(id_col), n_buckets)
+    rate = F.lit(default_rate)
+    # CASE chain over the (small, driver-known) rate table; an engine will
+    # constant-fold per-stratum comparisons into the scan filter.
+    for stratum in sorted(rates):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(rates[stratum])).otherwise(rate)
+    return df.withColumn("bucket", bucket).filter(F.col("bucket") < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "source",
+) -> DataFrame:
+    """Assign each document to a training sequence of ~``budget`` tokens.
+
+    Documents are laid out in ``id_col`` order within each ``shard_col``
+    group (the unit real pipelines pack independently — one input shard,
+    one packer); a document starts at the running token offset of its
+    predecessors and belongs to ``seq_id = floor(start_offset / budget)``.
+    This is the standard concatenate-then-cut packing: a document may
+    straddle a boundary; its sequence is where it STARTS.
+
+    Returns ``(id, shard, n_tokens, start_offset, seq_id)``.
+
+    Scale notes: the only wide operation is a window partitioned by the
+    shard key — cumulative sums never leave their shard, so there is no
+    global sort and no single-reducer bottleneck; skewed shards are the
+    caller's layout problem (same contract as any per-shard packer).
+    """
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(shard_col).alias("shard"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("long").alias("seq_id"),
+    )

@@ -139,6 +139,65 @@ def fingerprints(
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, Table A1):
+    the fraction of tokens that are repeats, and the fraction of n-grams
+    claimed by the single most frequent n-gram (n = 2, 3). Boilerplate /
+    generated spam scores high on all three; the published cuts drop
+    documents past ~0.2-0.6 depending on n.
+
+    Returns ``(doc_id, dup_token_frac, top_bigram_frac, top_trigram_frac)``
+    for every document with ≥1 token; a document shorter than n tokens has
+    NULL for that n's fraction (no grams to measure).
+
+    Plan shape at scale: one explode producing (doc, n, gram) for all
+    three n in a single pass over the corpus, then two map-side-combinable
+    aggregations (gram counts → per-(doc, n) total/max) and a conditional
+    pivot — two shuffles total, both keyed by doc so AQE handles skew;
+    nothing leaves the JVM.
+    """
+    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    )
+
+    def ngrams(n: int) -> Column:
+        # guard: sequence(1, size-n+1) DESCENDS when size < n — emit []
+        seq = F.when(
+            F.size(F.col("toks")) >= n,
+            F.sequence(F.lit(1), F.size(F.col("toks")) - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            seq,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(F.col("toks"), i, n), " ").alias("gram"),
+            ),
+        )
+
+    grams = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select("id", F.explode(F.flatten(F.array(ngrams(1), ngrams(2), ngrams(3)))).alias("g"))
+        .select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    per_n = counts.groupBy("id", "n").agg(
+        F.sum("cnt").alias("total"),
+        F.max("cnt").alias("top"),
+        F.count(F.lit(1)).alias("distinct_grams"),
+    )
+    return per_n.groupBy(F.col("id").alias(id_col)).agg(
+        F.max(
+            F.when(F.col("n") == 1, (F.lit(1.0) - F.col("distinct_grams") / F.col("total")))
+        ).cast("double").alias("dup_token_frac"),
+        F.max(F.when(F.col("n") == 2, F.col("top") / F.col("total"))).cast("double").alias("top_bigram_frac"),
+        F.max(F.when(F.col("n") == 3, F.col("top") / F.col("total"))).cast("double").alias("top_trigram_frac"),
+    )
+
+
 def clean_corpus(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -939,6 +939,93 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs, "doc_id", "text", k=7, window=4)
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import repetition_stats
+    from .sources.catalog import load_table
+
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+#: synthetic PII suffix appended to every document for the redaction query
+#: (the corpus itself is clean text; the suffix exercises all three
+#: redaction categories deterministically per doc_id). Spark and the
+#: oracle build the exact same string.
+def _pii_enriched_text() -> "F.Column":
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.org from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 tel +1-555-01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit("-2345 end"),
+    )
+
+
+_PII_ENRICH_SQL = (
+    "text || ' contact u' || cast(doc_id AS varchar) || "
+    "'@ex.org from 10.0.' || cast(doc_id % 256 AS varchar) || "
+    "'.7 tel +1-555-01' || lpad(cast(doc_id % 100 AS varchar), 2, '0') || "
+    "'-2345 end'"
+)
+
+# the PII patterns are engine-portable by construction (no lookaround /
+# backreferences — see operators/pretrain.py); embed them verbatim in the
+# oracle SQL (DuckDB plain single-quoted strings do not process
+# backslash escapes, so the regex arrives byte-identical)
+from .operators.pretrain import (  # noqa: E402
+    EMAIL_PATTERN as _PII_EMAIL,
+    IPV4_PATTERN as _PII_IPV4,
+    PHONE_PATTERN as _PII_PHONE,
+)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pretrain import redact_pii
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _pii_enriched_text().alias("text")
+    )
+    return redact_pii(docs).select(
+        "doc_id", "redacted", "n_emails", "n_ips", "n_phones"
+    )
+
+
+#: per-language keep rates (out of 100 md5 buckets) for the stratified
+#: sampling query — the corpus-mix shape: downweight the dominant
+#: language, keep the rare ones whole.
+SAMPLE_RATES = {"en": 37, "de": 100, "es": 63, "fr": 80}
+SAMPLE_DEFAULT_RATE = 50
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pretrain import sample_stratified
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sample_stratified(
+        docs, "doc_id", "lang", SAMPLE_RATES, default_rate=SAMPLE_DEFAULT_RATE
+    )
+    return out.select(
+        "doc_id", "lang", F.col("bucket").cast("long").alias("bucket")
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pretrain import pack_sequences
+    from .operators.textstats import whitespace_token_count
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        whitespace_token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=512, shard_col="source")
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
@@ -1989,6 +2076,72 @@ ORACLES: dict[str, str] = {
         "+ (strpos('0123456789abcdef', substring(payload_md5, 2*i+2, 1))-1) "
         "AS varchar)), 'string_agg', ',') AS feature_q FROM s"
     ),
+    "repetition_stats": (
+        "WITH toks AS (SELECT doc_id AS id, "
+        "  CASE WHEN trim(text) = '' THEN []::varchar[] "
+        "  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ts "
+        "  FROM documents), "
+        "g AS ("
+        "  SELECT id, 1 AS n, unnest(ts) AS gram FROM toks "
+        "  UNION ALL "
+        "  SELECT id, 2 AS n, ts[i] || ' ' || ts[i+1] AS gram "
+        "  FROM (SELECT id, ts, unnest(range(1, len(ts))) AS i FROM toks) "
+        "  UNION ALL "
+        "  SELECT id, 3 AS n, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+        "  AS gram "
+        "  FROM (SELECT id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)"
+        "), "
+        "c AS (SELECT id, n, gram, count(*) AS cnt FROM g "
+        "  GROUP BY id, n, gram), "
+        "a AS (SELECT id, n, sum(cnt) AS total, max(cnt) AS top, "
+        "  count(*) AS dg FROM c GROUP BY id, n) "
+        "SELECT id AS doc_id, "
+        "cast(max(CASE WHEN n = 1 THEN 1.0 - dg / total END) AS double) "
+        "AS dup_token_frac, "
+        "cast(max(CASE WHEN n = 2 THEN top / total END) AS double) "
+        "AS top_bigram_frac, "
+        "cast(max(CASE WHEN n = 3 THEN top / total END) AS double) "
+        "AS top_trigram_frac "
+        "FROM a GROUP BY id"
+    ),
+    "pii_redact": (
+        f"WITH e AS (SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents), "
+        f"p AS (SELECT doc_id, t, "
+        f"  regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM e) "
+        f"SELECT doc_id, "
+        f"regexp_replace(regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g'), "
+        f"'{_PII_PHONE}', '<PHONE>', 'g') AS redacted, "
+        f"cast(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS bigint) "
+        f"AS n_emails, "
+        f"cast(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS bigint) "
+        f"AS n_ips, "
+        f"cast(len(regexp_extract_all(t, '{_PII_PHONE}')) AS bigint) "
+        f"AS n_phones FROM p"
+    ),
+    "sample_stratified": (
+        "SELECT doc_id, lang, cast(bucket AS bigint) AS bucket FROM ("
+        "  SELECT doc_id, lang, "
+        "  ('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8))::bigint "
+        "  % 100 AS bucket FROM documents) b "
+        "WHERE bucket < (CASE lang "
+        + " ".join(
+            f"WHEN '{code}' THEN {rate}"
+            for code, rate in sorted(SAMPLE_RATES.items())
+        )
+        + f" ELSE {SAMPLE_DEFAULT_RATE} END)"
+    ),
+    "pack_sequences": (
+        "WITH t AS (SELECT doc_id, source, "
+        "  cast(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "  len(string_split_regex(trim(text), '\\s+')) END AS bigint) "
+        "  AS n_tokens FROM documents), "
+        "s AS (SELECT doc_id AS id, source AS shard, n_tokens, "
+        "  cast(coalesce(sum(n_tokens) OVER (PARTITION BY source "
+        "  ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "  1 PRECEDING), 0) AS bigint) AS start_offset FROM t) "
+        "SELECT id, shard, n_tokens, start_offset, "
+        "cast(floor(start_offset / 512.0) AS bigint) AS seq_id FROM s"
+    ),
     "events_stable_order": (
         "SELECT user_id, event_id, "
         "cast(row_number() OVER (PARTITION BY user_id "
@@ -2063,6 +2216,10 @@ SPARK_QUERIES = {
     "corpus_clean": q_corpus_clean,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
     "cosine_topk": q_cosine_topk,
     "simhash_docs": q_simhash_docs,
     "embedding_near_dup": q_embedding_near_dup,

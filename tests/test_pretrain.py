@@ -1,0 +1,140 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bop_consus_importing_rdf_spark.operators.pretrain import (
+    md5_bucket,
+    pack_sequences,
+    redact_pii,
+    sample_stratified,
+)
+from bop_consus_importing_rdf_spark.operators.textstats import repetition_stats
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_redact_pii_all_categories(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "mail bob.smith+x@ex-corp.co.uk now", "en", "s"),
+            (2, "server at 192.168.0.1 and 10.0.0.255.", "en", "s"),
+            (3, "call +1-555-0100-2345 or +49 030 123 4567", "en", "s"),
+            (4, "clean text with no pii at all", "en", "s"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (1, 0, 0)
+    assert out[2]["redacted"] == "server at <IP> and <IP>."
+    assert out[2]["n_ips"] == 2
+    assert out[3]["redacted"] == "call <PHONE> or <PHONE>"
+    assert out[3]["n_phones"] == 2
+    assert out[4]["redacted"] == out[4]["text"]
+    assert (out[4]["n_emails"], out[4]["n_ips"], out[4]["n_phones"]) == (0, 0, 0)
+
+
+def test_redact_pii_email_wins_over_ip(spark):
+    # a dotted-numeric email domain with an alphabetic TLD must be consumed
+    # whole by the email pass, not half-redacted as an IP (the fixed
+    # replacement order); without a TLD it is not an email, and the IP
+    # inside the local@host form is still scrubbed
+    df = _docs(
+        spark,
+        [(1, "x u@1.2.3.44.net y", "en", "s"), (2, "x u@1.2.3.44 y", "en", "s")],
+    )
+    out = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["redacted"] == "x <EMAIL> y"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 0
+    assert out[2]["redacted"] == "x u@<IP> y"
+    assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 1
+
+
+def test_sample_stratified_deterministic_and_rate_bounded(spark):
+    rows = [(i, f"t{i}", ["en", "de"][i % 2], "s") for i in range(400)]
+    df = _docs(spark, rows)
+    a = sample_stratified(df, "doc_id", "lang", {"en": 25, "de": 100}).collect()
+    b = sample_stratified(df, "doc_id", "lang", {"en": 25, "de": 100}).collect()
+    assert sorted(r["doc_id"] for r in a) == sorted(r["doc_id"] for r in b)
+    kept = {r["doc_id"]: r for r in a}
+    # de (rate 100) keeps every row; en keeps the bucket<25 subset only
+    assert sum(1 for r in a if r["lang"] == "de") == 200
+    n_en = sum(1 for r in a if r["lang"] == "en")
+    assert 0 < n_en < 200
+    assert all(0 <= r["bucket"] < 100 for r in a)
+    # rate 0 (default for unlisted strata) drops the stratum entirely
+    none = sample_stratified(df, "doc_id", "lang", {"de": 100}).collect()
+    assert all(r["lang"] == "de" for r in none)
+    # a kept row's bucket really is below its stratum rate
+    assert all(r["bucket"] < 25 for r in a if r["lang"] == "en")
+    assert kept  # non-degenerate
+
+
+def test_md5_bucket_matches_duckdb(spark):
+    import duckdb
+
+    df = spark.range(0, 50).select(
+        F.col("id"), md5_bucket(F.col("id")).alias("bucket")
+    )
+    got = {r["id"]: r["bucket"] for r in df.collect()}
+    want = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            "SELECT i, ('0x' || substring(md5(cast(i AS varchar)), 1, 8))::bigint % 100 "
+            "FROM range(50) t(i)"
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_pack_sequences_hand_example(spark):
+    # shard A: tokens 300, 300, 500 -> starts 0, 300, 600 -> seqs 0, 0, 1
+    # shard B independent: starts reset to 0
+    df = spark.createDataFrame(
+        [(1, "A", 300), (2, "A", 300), (3, "A", 500), (4, "B", 400), (5, "B", 200)],
+        "doc_id long, source string, n_tokens long",
+    )
+    out = {
+        r["id"]: (r["start_offset"], r["seq_id"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=512).collect()
+    }
+    assert out == {1: (0, 0), 2: (300, 0), 3: (600, 1), 4: (0, 0), 5: (400, 0)}
+
+
+def test_repetition_stats_hand_example(spark):
+    df = _docs(
+        spark,
+        [
+            # 4 tokens, 3 distinct ("a" twice): dup 1-3/4; bigrams
+            # "a b","b a","a c" all unique -> top 1/3; trigrams 2, top 1/2
+            (1, "a b a c", "en", "s"),
+            # fully repetitive: dup 1-1/6; top bigram "x x" 5/5; trigram 4/4
+            (2, "x x x x x x", "en", "s"),
+            # single token: no bigrams/trigrams -> NULLs
+            (3, "solo", "en", "s"),
+            # empty text: no tokens at all -> row absent
+            (4, "   ", "en", "s"),
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    r1 = rows[1]
+    assert abs(r1["dup_token_frac"] - 0.25) < 1e-12
+    assert abs(r1["top_bigram_frac"] - 1 / 3) < 1e-12
+    assert abs(r1["top_trigram_frac"] - 0.5) < 1e-12
+    r2 = rows[2]
+    assert abs(r2["dup_token_frac"] - 5 / 6) < 1e-12
+    assert r2["top_bigram_frac"] == 1.0 and r2["top_trigram_frac"] == 1.0
+    r3 = rows[3]
+    assert r3["dup_token_frac"] == 0.0
+    assert r3["top_bigram_frac"] is None and r3["top_trigram_frac"] is None
+
+
+def test_repetition_stats_case_fold(spark):
+    # tokens are lowercased before counting: "The the THE" is one gram
+    df = _docs(spark, [(1, "The the THE", "en", "s")])
+    r = repetition_stats(df).collect()[0]
+    assert abs(r["dup_token_frac"] - 2 / 3) < 1e-12
+    assert r["top_bigram_frac"] == 1.0
