@@ -184,17 +184,23 @@ def repetition_stats(
         .select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
     )
     counts = grams.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    per_n = counts.groupBy("id", "n").agg(
-        F.sum("cnt").alias("total"),
-        F.max("cnt").alias("top"),
-        F.count(F.lit(1)).alias("distinct_grams"),
+    # fold the per-(doc, n) totals AND the n→column pivot into ONE
+    # aggregation keyed by doc (a separate groupBy(id, n) → groupBy(id)
+    # pair plans a third exchange for identical output)
+    n, cnt = F.col("n"), F.col("cnt")
+    per_doc = counts.groupBy(F.col("id").alias(id_col)).agg(
+        F.sum(F.when(n == 1, cnt)).alias("total1"),
+        F.count(F.when(n == 1, F.lit(1))).alias("dg1"),
+        F.sum(F.when(n == 2, cnt)).alias("total2"),
+        F.max(F.when(n == 2, cnt)).alias("top2"),
+        F.sum(F.when(n == 3, cnt)).alias("total3"),
+        F.max(F.when(n == 3, cnt)).alias("top3"),
     )
-    return per_n.groupBy(F.col("id").alias(id_col)).agg(
-        F.max(
-            F.when(F.col("n") == 1, (F.lit(1.0) - F.col("distinct_grams") / F.col("total")))
-        ).cast("double").alias("dup_token_frac"),
-        F.max(F.when(F.col("n") == 2, F.col("top") / F.col("total"))).cast("double").alias("top_bigram_frac"),
-        F.max(F.when(F.col("n") == 3, F.col("top") / F.col("total"))).cast("double").alias("top_trigram_frac"),
+    return per_doc.select(
+        id_col,
+        (F.lit(1.0) - F.col("dg1") / F.col("total1")).cast("double").alias("dup_token_frac"),
+        (F.col("top2") / F.col("total2")).cast("double").alias("top_bigram_frac"),
+        (F.col("top3") / F.col("total3")).cast("double").alias("top_trigram_frac"),
     )
 
 

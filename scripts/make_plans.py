@@ -84,6 +84,32 @@ COMMENTARY = {
         "dataset_id — the groupBy aggregation needs no exchange of its own "
         "beyond reading the checkpoint blocks."
     ),
+    "repetition_stats": (
+        "Gopher repetition filters: ONE Generate (explode) emits (doc, n, "
+        "gram) for n=1,2,3 in a single corpus pass; gram counting and the "
+        "per-doc conditional pivot are two map-side-combinable "
+        "aggregations — exactly two exchanges, both keyed by doc_id(+gram) "
+        "so AQE's skew handling applies; no Python anywhere."
+    ),
+    "pii_redact": (
+        "PII scrubbing: the entire pass (three regexp_replace + three "
+        "match counts) is one whole-stage-codegen projection over the "
+        "scan — zero exchanges, the shape a 100 TB full-corpus pass "
+        "must have."
+    ),
+    "sample_stratified": (
+        "Deterministic md5-bucket sampling: the keep predicate is a pure "
+        "row function planned as a codegen'd Filter directly over the "
+        "scan — zero exchanges, trivially partition-parallel, "
+        "reproducible across runs and engines."
+    ),
+    "pack_sequences": (
+        "Token-budget sequence packing: ONE exchange hash-partitions by "
+        "the shard key, then the running-offset window sorts within "
+        "shards only — no global sort, no single-reducer cumulative sum; "
+        "skew bounded by shard size, the same contract as any per-shard "
+        "packer."
+    ),
 }
 
 
