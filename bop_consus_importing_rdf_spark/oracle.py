@@ -2105,18 +2105,28 @@ ORACLES: dict[str, str] = {
         "FROM a GROUP BY id"
     ),
     "pii_redact": (
+        # mirrors redact_pii exactly: '@'/'+' contains-gates, fixed
+        # email -> IP -> phone order, counts = length-difference of the
+        # inserted literal tokens net of any already in the input
         f"WITH e AS (SELECT doc_id, {_PII_ENRICH_SQL} AS t FROM documents), "
-        f"p AS (SELECT doc_id, t, "
-        f"  regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM e) "
-        f"SELECT doc_id, "
-        f"regexp_replace(regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g'), "
-        f"'{_PII_PHONE}', '<PHONE>', 'g') AS redacted, "
-        f"cast(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS bigint) "
-        f"AS n_emails, "
-        f"cast(len(regexp_extract_all(t1, '{_PII_IPV4}')) AS bigint) "
-        f"AS n_ips, "
-        f"cast(len(regexp_extract_all(t, '{_PII_PHONE}')) AS bigint) "
-        f"AS n_phones FROM p"
+        f"p1 AS (SELECT doc_id, t, CASE WHEN contains(t, '@') THEN "
+        f"  regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') ELSE t END "
+        f"  AS t1 FROM e), "
+        f"p2 AS (SELECT doc_id, t, t1, "
+        f"  regexp_replace(t1, '{_PII_IPV4}', '<IP>', 'g') AS t2 FROM p1), "
+        f"p3 AS (SELECT doc_id, t, t1, t2, CASE WHEN contains(t2, '+') THEN "
+        f"  regexp_replace(t2, '{_PII_PHONE}', '<PHONE>', 'g') ELSE t2 END "
+        f"  AS t3 FROM p2) "
+        f"SELECT doc_id, t3 AS redacted, "
+        f"cast((length(t1) - length(replace(t1, '<EMAIL>', ''))) / 7 "
+        f" - (length(t) - length(replace(t, '<EMAIL>', ''))) / 7 "
+        f"AS bigint) AS n_emails, "
+        f"cast((length(t2) - length(replace(t2, '<IP>', ''))) / 4 "
+        f" - (length(t) - length(replace(t, '<IP>', ''))) / 4 "
+        f"AS bigint) AS n_ips, "
+        f"cast((length(t3) - length(replace(t3, '<PHONE>', ''))) / 7 "
+        f" - (length(t) - length(replace(t, '<PHONE>', ''))) / 7 "
+        f"AS bigint) AS n_phones FROM p3"
     ),
     "sample_stratified": (
         "SELECT doc_id, lang, cast(bucket AS bigint) AS bucket FROM ("

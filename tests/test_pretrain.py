@@ -52,6 +52,15 @@ def test_redact_pii_email_wins_over_ip(spark):
     assert out[2]["n_emails"] == 0 and out[2]["n_ips"] == 1
 
 
+def test_redact_pii_preexisting_tokens_netted_out(spark):
+    # counts are derived from inserted tokens by length difference; a
+    # literal token already present in the input must not count
+    df = _docs(spark, [(1, "<EMAIL> says hi to a@b.io and <IP>", "en", "s")])
+    row = redact_pii(df).collect()[0]
+    assert row["redacted"] == "<EMAIL> says hi to <EMAIL> and <IP>"
+    assert row["n_emails"] == 1 and row["n_ips"] == 0 and row["n_phones"] == 0
+
+
 def test_sample_stratified_deterministic_and_rate_bounded(spark):
     rows = [(i, f"t{i}", ["en", "de"][i % 2], "s") for i in range(400)]
     df = _docs(spark, rows)
