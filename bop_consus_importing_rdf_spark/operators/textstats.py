@@ -154,11 +154,16 @@ def repetition_stats(
     for every document with ≥1 token; a document shorter than n tokens has
     NULL for that n's fraction (no grams to measure).
 
-    Plan shape at scale: one explode producing (doc, n, gram) for all
-    three n in a single pass over the corpus, then two map-side-combinable
-    aggregations (gram counts → per-(doc, n) total/max) and a conditional
-    pivot — two shuffles total, both keyed by doc so AQE handles skew;
-    nothing leaves the JVM.
+    Plan shape at scale: these are PER-DOCUMENT statistics — no
+    cross-document aggregation exists, so no shuffle should either. The
+    mode count of a gram multiset equals the maximum run length of the
+    sorted gram array, so everything computes row-local with built-in
+    higher-order functions (sort_array + an O(n) ``aggregate`` run-length
+    scan): zero exchanges, JVM-side throughout, linear in document tokens
+    after the per-document O(n log n) sort. (A first cut exploded
+    (doc, n, gram) rows through two map-side-combinable aggregations —
+    same answers, but it shuffled ~3× the corpus token count: 89s vs this
+    at 1M docs. Measured, recorded in BENCH/BASELINE.md.)
     """
     toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
@@ -170,37 +175,40 @@ def repetition_stats(
             F.size(F.col("toks")) >= n,
             F.sequence(F.lit(1), F.size(F.col("toks")) - (n - 1)),
         ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            seq,
-            lambda i: F.struct(
-                F.lit(n).alias("n"),
-                F.array_join(F.slice(F.col("toks"), i, n), " ").alias("gram"),
-            ),
+        return F.transform(seq, lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "))
+
+    def max_run(arr: Column) -> Column:
+        """Longest run in a SORTED array == count of its most frequent
+        element. One O(n) fold; null-safe start (prev=null ≠ first)."""
+        zero = F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
         )
 
-    grams = (
-        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
-        .select("id", F.explode(F.flatten(F.array(ngrams(1), ngrams(2), ngrams(3)))).alias("g"))
-        .select("id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    )
-    counts = grams.groupBy("id", "n", "gram").agg(F.count(F.lit(1)).alias("cnt"))
-    # fold the per-(doc, n) totals AND the n→column pivot into ONE
-    # aggregation keyed by doc (a separate groupBy(id, n) → groupBy(id)
-    # pair plans a third exchange for identical output)
-    n, cnt = F.col("n"), F.col("cnt")
-    per_doc = counts.groupBy(F.col("id").alias(id_col)).agg(
-        F.sum(F.when(n == 1, cnt)).alias("total1"),
-        F.count(F.when(n == 1, F.lit(1))).alias("dg1"),
-        F.sum(F.when(n == 2, cnt)).alias("total2"),
-        F.max(F.when(n == 2, cnt)).alias("top2"),
-        F.sum(F.when(n == 3, cnt)).alias("total3"),
-        F.max(F.when(n == 3, cnt)).alias("top3"),
-    )
-    return per_doc.select(
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+            return F.struct(
+                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+            )
+
+        return F.aggregate(F.sort_array(arr), zero, step, lambda acc: acc["best"])
+
+    def top_frac(n: int) -> Column:
+        grams = ngrams(n)
+        return F.when(
+            F.size(F.col("toks")) >= n, (max_run(grams) / F.size(grams))
+        ).cast("double")
+
+    return df.select(F.col(id_col).alias(id_col), toks.alias("toks")).filter(
+        F.size(F.col("toks")) >= 1
+    ).select(
         id_col,
-        (F.lit(1.0) - F.col("dg1") / F.col("total1")).cast("double").alias("dup_token_frac"),
-        (F.col("top2") / F.col("total2")).cast("double").alias("top_bigram_frac"),
-        (F.col("top3") / F.col("total3")).cast("double").alias("top_trigram_frac"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(F.col("toks"))) / F.size(F.col("toks"))
+        ).cast("double").alias("dup_token_frac"),
+        top_frac(2).alias("top_bigram_frac"),
+        top_frac(3).alias("top_trigram_frac"),
     )
 
 

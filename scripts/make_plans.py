@@ -85,11 +85,12 @@ COMMENTARY = {
         "beyond reading the checkpoint blocks."
     ),
     "repetition_stats": (
-        "Gopher repetition filters: ONE Generate (explode) emits (doc, n, "
-        "gram) for n=1,2,3 in a single corpus pass; gram counting and the "
-        "per-doc conditional pivot are two map-side-combinable "
-        "aggregations — exactly two exchanges, both keyed by doc_id(+gram) "
-        "so AQE's skew handling applies; no Python anywhere."
+        "Gopher repetition filters: per-document statistics need no "
+        "cross-document aggregation, so the plan is a pure projection — "
+        "mode count == max run length of the sorted gram array, computed "
+        "row-local with sort_array + an O(n) aggregate fold. ZERO "
+        "exchanges; the first-cut explode+groupBy spelling shuffled ~3x "
+        "the corpus tokens and ran 2x slower (89s vs 46s at 1M docs)."
     ),
     "pii_redact": (
         "PII scrubbing: the entire pass (three regexp_replace + three "
