@@ -141,6 +141,121 @@ def test_repetition_stats_hand_example(spark):
     assert r3["top_bigram_frac"] is None and r3["top_trigram_frac"] is None
 
 
+def test_repetition_stats_matches_counter_reference(spark):
+    """Property: the sorted-run-length mode trick == Counter.most_common
+    over hypothesis-generated corpora (small vocab → heavy collisions)."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def ref(tokens):
+        dup = 1.0 - len(set(tokens)) / len(tokens)
+
+        def top(k):
+            grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+            if not grams:
+                return None
+            return Counter(grams).most_common(1)[0][1] / len(grams)
+
+        return (dup, top(2), top(3))
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "ab", "ba", "x"]), min_size=1, max_size=12),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(docs):
+        df = _docs(
+            spark,
+            [(i, " ".join(toks), "en", "s") for i, toks in enumerate(docs)],
+        )
+        got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+        assert set(got) == set(range(len(docs)))
+        for i, toks in enumerate(docs):
+            dup, t2, t3 = ref(toks)
+            r = got[i]
+            assert abs(r["dup_token_frac"] - dup) < 1e-12
+            for name, want in [("top_bigram_frac", t2), ("top_trigram_frac", t3)]:
+                if want is None:
+                    assert r[name] is None
+                else:
+                    assert abs(r[name] - want) < 1e-12
+
+    check()
+
+
+def test_pack_sequences_matches_prefix_sum_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.lists(
+            st.tuples(st.sampled_from(["A", "B", "C"]), st.integers(0, 700)),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(rows):
+        df = spark.createDataFrame(
+            [(i, shard, n) for i, (shard, n) in enumerate(rows)],
+            "doc_id long, source string, n_tokens long",
+        )
+        got = {r["id"]: r for r in pack_sequences(df, "doc_id", "n_tokens", budget=512).collect()}
+        offsets: dict[str, int] = {}
+        for i, (shard, n) in enumerate(rows):
+            start = offsets.get(shard, 0)
+            assert got[i]["start_offset"] == start
+            assert got[i]["seq_id"] == start // 512
+            assert got[i]["shard"] == shard
+            offsets[shard] = start + n
+
+    check()
+
+
+def test_redact_pii_counts_match_injection(spark):
+    """Property: inject k known PII items between letter-only filler
+    tokens (which can never match any pattern) — counts must equal the
+    injection tally and every injected item must be tokenized."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    want = []
+    for doc_id in range(40):
+        parts, k = [], [0, 0, 0]
+        for _ in range(rng.randint(1, 12)):
+            kind = rng.randint(0, 5)
+            if kind == 0:
+                parts.append(f"u{rng.randint(0,99)}@ex{rng.randint(0,9)}.org")
+                k[0] += 1
+            elif kind == 1:
+                parts.append(".".join(str(rng.randint(0, 255)) for _ in range(4)))
+                k[1] += 1
+            elif kind == 2:
+                parts.append(f"+{rng.randint(1,99)}-{rng.randint(100,999)}-555-{rng.randint(1000,9999)}")
+                k[2] += 1
+            else:
+                parts.append("".join(rng.choice("abcdef") for _ in range(rng.randint(1, 8))))
+        rows.append((doc_id, " ".join(parts), "en", "s"))
+        want.append(tuple(k))
+    out = {r["doc_id"]: r for r in redact_pii(_docs(spark, rows)).collect()}
+    for doc_id, (ne, ni, np_) in enumerate(want):
+        r = out[doc_id]
+        assert (r["n_emails"], r["n_ips"], r["n_phones"]) == (ne, ni, np_), (
+            doc_id,
+            rows[doc_id][1],
+            r,
+        )
+        assert r["redacted"].count("<EMAIL>") == ne
+        assert r["redacted"].count("<IP>") == ni
+        assert r["redacted"].count("<PHONE>") == np_
+
+
 def test_repetition_stats_case_fold(spark):
     # tokens are lowercased before counting: "The the THE" is one gram
     df = _docs(spark, [(1, "The the THE", "en", "s")])
