@@ -165,51 +165,61 @@ def repetition_stats(
     same answers, but it shuffled ~3× the corpus token count: 89s vs this
     at 1M docs. Measured, recorded in BENCH/BASELINE.md.)
     """
-    toks = F.when(F.trim(F.col(text_col)) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    )
-
-    def ngrams(n: int) -> Column:
-        # guard: sequence(1, size-n+1) DESCENDS when size < n — emit []
-        seq = F.when(
-            F.size(F.col("toks")) >= n,
-            F.sequence(F.lit(1), F.size(F.col("toks")) - (n - 1)),
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(seq, lambda i: F.array_join(F.slice(F.col("toks"), i, n), " "))
-
-    def max_run(arr: Column) -> Column:
-        """Longest run in a SORTED array == count of its most frequent
-        element. One O(n) fold; null-safe start (prev=null ≠ first)."""
-        zero = F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-        )
-
-        def step(acc: Column, x: Column) -> Column:
-            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
-            return F.struct(
-                x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
-            )
-
-        return F.aggregate(F.sort_array(arr), zero, step, lambda acc: acc["best"])
-
-    def top_frac(n: int) -> Column:
-        grams = ngrams(n)
-        return F.when(
-            F.size(F.col("toks")) >= n, (max_run(grams) / F.size(grams))
-        ).cast("double")
-
+    toks = _lower_tokens(F.col(text_col))
     return df.select(F.col(id_col).alias(id_col), toks.alias("toks")).filter(
         F.size(F.col("toks")) >= 1
     ).select(
         id_col,
-        (
-            F.lit(1.0) - F.size(F.array_distinct(F.col("toks"))) / F.size(F.col("toks"))
-        ).cast("double").alias("dup_token_frac"),
-        top_frac(2).alias("top_bigram_frac"),
-        top_frac(3).alias("top_trigram_frac"),
+        dup_token_frac(F.col("toks")).alias("dup_token_frac"),
+        top_ngram_frac(F.col("toks"), 2).alias("top_bigram_frac"),
+        top_ngram_frac(F.col("toks"), 3).alias("top_trigram_frac"),
     )
+
+
+def _lower_tokens(text: Column) -> Column:
+    """Lowercased whitespace tokens; empty/blank text → [] (a bare split
+    of '' yields [''])."""
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(text)), r"\s+")
+    )
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    # guard: sequence(1, size-n+1) DESCENDS when size < n — emit []
+    seq = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(seq, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
+def _max_run(arr: Column) -> Column:
+    """Longest run in a SORTED array == count of its most frequent
+    element. One O(n) fold; null-safe start (prev=null ≠ first)."""
+    zero = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(F.sort_array(arr), zero, step, lambda acc: acc["best"])
+
+
+def dup_token_frac(toks: Column) -> Column:
+    """Fraction of tokens that repeat an earlier token (row-local)."""
+    return (F.lit(1.0) - F.size(F.array_distinct(toks)) / F.size(toks)).cast("double")
+
+
+def top_ngram_frac(toks: Column, n: int) -> Column:
+    """Fraction of n-grams claimed by the single most frequent n-gram;
+    NULL when the document is shorter than n tokens (row-local)."""
+    grams = _ngrams(toks, n)
+    return F.when(F.size(toks) >= n, (_max_run(grams) / F.size(grams))).cast("double")
 
 
 def clean_corpus(
@@ -243,3 +253,57 @@ def clean_corpus(
         (F.col("quality_score") >= min_quality)
         & (F.col("lang_pred") == lang)
     ).select(id_col, "lang_pred", "n_tokens", "quality_score")
+
+
+def clean_corpus_gopher(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.6,
+    lang: str = "en",
+    max_dup_token_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.05,
+    max_top_trigram_frac: float = 0.04,
+) -> DataFrame:
+    """:func:`clean_corpus` extended with the Gopher repetition gates
+    (Rae et al. 2021): drop documents whose duplicate-token or top-2/3-gram
+    fractions exceed the cuts.
+
+    The repetition fractions are row-local column expressions (see
+    :func:`repetition_stats`), so the composed chain costs NOTHING extra
+    at scale: still exactly one md5 groupBy + one semi join (the dedup);
+    scoring, language id, and all three repetition gates evaluate in the
+    same projection. A document too short to measure an n-gram fraction
+    (NULL) passes that gate — shortness is not repetition.
+    """
+    from .dedup import exact_dedup
+
+    reps = (
+        exact_dedup(df, id_col, text_col)
+        .filter(F.col("id") == F.col("rep_id"))
+        .select(F.col("id").alias(id_col))
+    )
+    kept = df.join(reps, id_col, "left_semi")
+    toks = _lower_tokens(F.col(text_col))
+    scored = (
+        quality_features(kept, text_col)
+        .withColumn("lang_pred", lang_id(F.col(text_col)))
+        .withColumn("dup_token_frac", dup_token_frac(toks))
+        .withColumn("top_bigram_frac", top_ngram_frac(toks, 2))
+        .withColumn("top_trigram_frac", top_ngram_frac(toks, 3))
+    )
+    return scored.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("lang_pred") == lang)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
+        & (F.coalesce(F.col("top_trigram_frac"), F.lit(0.0)) <= max_top_trigram_frac)
+    ).select(
+        id_col,
+        "lang_pred",
+        "n_tokens",
+        "quality_score",
+        "dup_token_frac",
+        "top_bigram_frac",
+        "top_trigram_frac",
+    )

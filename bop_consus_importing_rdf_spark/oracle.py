@@ -912,6 +912,16 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_corpus(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_clean + the Gopher repetition gates — the full pre-training
+    filter chain. The repetition fractions are row-local expressions, so
+    the composed plan still has exactly one md5 groupBy + one semi join."""
+    from .operators.textstats import clean_corpus_gopher
+    from .sources.catalog import load_table
+
+    return clean_corpus_gopher(load_table(spark, sf_dir, "documents"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import lang_id
     from .sources.catalog import load_table
@@ -1567,6 +1577,70 @@ _SIMHASH64_SIG_CTE = (
 )
 
 
+# shared CTE chains: corpus_clean's dedup→score→lang stages and
+# repetition_stats' gram-fraction computation, each reused verbatim by the
+# composed corpus_clean_gopher oracle so the three entries can't drift
+_CORPUS_CLEAN_CTES = (
+    "WITH h AS (SELECT doc_id AS id, md5(text) AS m FROM documents), "
+    "reps AS (SELECT m, min(id) AS rep_id FROM h GROUP BY m), "
+    "keep AS (SELECT h.id AS doc_id FROM h "
+    "  JOIN reps r ON r.m = h.m AND h.id = r.rep_id), "
+    "f AS (SELECT d.doc_id, "
+    "  length(d.text) AS n_chars, "
+    "  CASE WHEN trim(d.text) = '' THEN 0 ELSE "
+    "  len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens, "
+    "  length(d.text) - "
+    "  length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS n_punct, "
+    + _sql_marker_hits("d.text", LANG_MARKERS["en"])
+    + " AS stop_hits, "
+    "  length(regexp_replace(d.text, '\\s+', '', 'g')) AS n_nospace, "
+    + _sql_lang_id("d.text")
+    + " AS lang_pred "
+    "FROM documents d JOIN keep k ON k.doc_id = d.doc_id), "
+    "r AS (SELECT doc_id, lang_pred, cast(n_tokens AS bigint) AS n_tokens, "
+    "  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END "
+    "  AS punct_ratio, "
+    "  CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END "
+    "  AS stopword_ratio, "
+    "  CASE WHEN n_tokens > 0 THEN n_nospace / n_tokens ELSE 0.0 END "
+    "  AS mean_word_len FROM f), "
+    "s AS (SELECT doc_id, lang_pred, n_tokens, "
+    "  least(n_tokens / 100.0, 1.0) * 0.25 "
+    "  + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 "
+    "  + least(stopword_ratio * 5, 1.0) * 0.25 "
+    "  + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 "
+    "     THEN 1.0 ELSE 0.0 END) * 0.25 AS quality_score FROM r)"
+)
+
+_REPETITION_CTES = (
+    "toks AS (SELECT doc_id AS id, "
+    "  CASE WHEN trim(text) = '' THEN []::varchar[] "
+    "  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ts "
+    "  FROM documents), "
+    "g AS ("
+    "  SELECT id, 1 AS n, unnest(ts) AS gram FROM toks "
+    "  UNION ALL "
+    "  SELECT id, 2 AS n, ts[i] || ' ' || ts[i+1] AS gram "
+    "  FROM (SELECT id, ts, unnest(range(1, len(ts))) AS i FROM toks) "
+    "  UNION ALL "
+    "  SELECT id, 3 AS n, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
+    "  AS gram "
+    "  FROM (SELECT id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)"
+    "), "
+    "c AS (SELECT id, n, gram, count(*) AS cnt FROM g "
+    "  GROUP BY id, n, gram), "
+    "a AS (SELECT id, n, sum(cnt) AS total, max(cnt) AS top, "
+    "  count(*) AS dg FROM c GROUP BY id, n), "
+    "rep AS (SELECT id AS doc_id, "
+    "cast(max(CASE WHEN n = 1 THEN 1.0 - dg / total END) AS double) "
+    "AS dup_token_frac, "
+    "cast(max(CASE WHEN n = 2 THEN top / total END) AS double) "
+    "AS top_bigram_frac, "
+    "cast(max(CASE WHEN n = 3 THEN top / total END) AS double) "
+    "AS top_trigram_frac "
+    "FROM a GROUP BY id)"
+)
+
 ORACLES: dict[str, str] = {
     "nt_render": (
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
@@ -1817,37 +1891,21 @@ ORACLES: dict[str, str] = {
         "   THEN 1.0 ELSE 0.0 END) * 0.25 AS quality_score FROM r"
     ),
     "corpus_clean": (
-        "WITH h AS (SELECT doc_id AS id, md5(text) AS m FROM documents), "
-        "reps AS (SELECT m, min(id) AS rep_id FROM h GROUP BY m), "
-        "keep AS (SELECT h.id AS doc_id FROM h "
-        "  JOIN reps r ON r.m = h.m AND h.id = r.rep_id), "
-        "f AS (SELECT d.doc_id, "
-        "  length(d.text) AS n_chars, "
-        "  CASE WHEN trim(d.text) = '' THEN 0 ELSE "
-        "  len(string_split_regex(trim(d.text), '\\s+')) END AS n_tokens, "
-        "  length(d.text) - "
-        "  length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS n_punct, "
-        + _sql_marker_hits("d.text", LANG_MARKERS["en"])
-        + " AS stop_hits, "
-        "  length(regexp_replace(d.text, '\\s+', '', 'g')) AS n_nospace, "
-        + _sql_lang_id("d.text")
-        + " AS lang_pred "
-        "FROM documents d JOIN keep k ON k.doc_id = d.doc_id), "
-        "r AS (SELECT doc_id, lang_pred, cast(n_tokens AS bigint) AS n_tokens, "
-        "  CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END "
-        "  AS punct_ratio, "
-        "  CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END "
-        "  AS stopword_ratio, "
-        "  CASE WHEN n_tokens > 0 THEN n_nospace / n_tokens ELSE 0.0 END "
-        "  AS mean_word_len FROM f), "
-        "s AS (SELECT doc_id, lang_pred, n_tokens, "
-        "  least(n_tokens / 100.0, 1.0) * 0.25 "
-        "  + (1.0 - least(punct_ratio * 5, 1.0)) * 0.25 "
-        "  + least(stopword_ratio * 5, 1.0) * 0.25 "
-        "  + (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 10 "
-        "     THEN 1.0 ELSE 0.0 END) * 0.25 AS quality_score FROM r) "
+        _CORPUS_CLEAN_CTES + " "
         "SELECT doc_id, lang_pred, n_tokens, quality_score FROM s "
         "WHERE quality_score >= 0.6 AND lang_pred = 'en'"
+    ),
+    "corpus_clean_gopher": (
+        # corpus_clean + the Gopher repetition gates; a NULL n-gram
+        # fraction (doc shorter than n tokens) passes its gate
+        _CORPUS_CLEAN_CTES + ", " + _REPETITION_CTES + " "
+        "SELECT s.doc_id, s.lang_pred, s.n_tokens, s.quality_score, "
+        "rep.dup_token_frac, rep.top_bigram_frac, rep.top_trigram_frac "
+        "FROM s JOIN rep ON rep.doc_id = s.doc_id "
+        "WHERE s.quality_score >= 0.6 AND s.lang_pred = 'en' "
+        "AND rep.dup_token_frac <= 0.6 "
+        "AND coalesce(rep.top_bigram_frac, 0.0) <= 0.05 "
+        "AND coalesce(rep.top_trigram_frac, 0.0) <= 0.04"
     ),
     "fingerprints": (
         "WITH g AS (SELECT id, pos, md5(substring(t, pos, 7)) AS gram_hash "
@@ -2077,32 +2135,9 @@ ORACLES: dict[str, str] = {
         "AS varchar)), 'string_agg', ',') AS feature_q FROM s"
     ),
     "repetition_stats": (
-        "WITH toks AS (SELECT doc_id AS id, "
-        "  CASE WHEN trim(text) = '' THEN []::varchar[] "
-        "  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS ts "
-        "  FROM documents), "
-        "g AS ("
-        "  SELECT id, 1 AS n, unnest(ts) AS gram FROM toks "
-        "  UNION ALL "
-        "  SELECT id, 2 AS n, ts[i] || ' ' || ts[i+1] AS gram "
-        "  FROM (SELECT id, ts, unnest(range(1, len(ts))) AS i FROM toks) "
-        "  UNION ALL "
-        "  SELECT id, 3 AS n, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] "
-        "  AS gram "
-        "  FROM (SELECT id, ts, unnest(range(1, len(ts)-1)) AS i FROM toks)"
-        "), "
-        "c AS (SELECT id, n, gram, count(*) AS cnt FROM g "
-        "  GROUP BY id, n, gram), "
-        "a AS (SELECT id, n, sum(cnt) AS total, max(cnt) AS top, "
-        "  count(*) AS dg FROM c GROUP BY id, n) "
-        "SELECT id AS doc_id, "
-        "cast(max(CASE WHEN n = 1 THEN 1.0 - dg / total END) AS double) "
-        "AS dup_token_frac, "
-        "cast(max(CASE WHEN n = 2 THEN top / total END) AS double) "
-        "AS top_bigram_frac, "
-        "cast(max(CASE WHEN n = 3 THEN top / total END) AS double) "
-        "AS top_trigram_frac "
-        "FROM a GROUP BY id"
+        "WITH " + _REPETITION_CTES + " "
+        "SELECT doc_id, dup_token_frac, top_bigram_frac, top_trigram_frac "
+        "FROM rep"
     ),
     "pii_redact": (
         # mirrors redact_pii exactly: '@'/'+' contains-gates, fixed
@@ -2224,6 +2259,7 @@ SPARK_QUERIES = {
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "corpus_clean": q_corpus_clean,
+    "corpus_clean_gopher": q_corpus_clean_gopher,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "repetition_stats": q_repetition_stats,

@@ -256,6 +256,43 @@ def test_redact_pii_counts_match_injection(spark):
         assert r["redacted"].count("<PHONE>") == np_
 
 
+def test_clean_corpus_gopher_gates(spark):
+    from bop_consus_importing_rdf_spark.operators.textstats import (
+        clean_corpus,
+        clean_corpus_gopher,
+    )
+
+    base = (
+        "the data and table of is scan with join merge the filter and "
+        "sort of group is order with key the value and row of batch is "
+        "line with part the query and spark of window is stream with agg"
+    )
+    rows = [
+        (1, base, "en", "s"),  # quality-passing, low repetition -> kept
+        (2, base + " " + "the scan " * 40, "en", "s"),  # top-bigram spam
+        (3, base.replace("the", "the the"), "en", "s"),  # dup-token heavy
+    ]
+    df = _docs(spark, rows)
+    plain = {r["doc_id"] for r in clean_corpus(df).collect()}
+    gated = {r["doc_id"]: r for r in clean_corpus_gopher(df).collect()}
+    assert 1 in gated
+    # doc 2 passes the plain chain but the bigram gate kills it
+    assert 2 in plain and 2 not in gated
+    r1 = gated[1]
+    assert r1["top_bigram_frac"] <= 0.05 and r1["dup_token_frac"] <= 0.6
+    # the composed plan adds NO exchange beyond clean_corpus's dedup:
+    # same aggregate+join shuffle count with the gates fused in
+    import re
+
+    def n_exchanges(frame):
+        plan = frame._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+    assert n_exchanges(clean_corpus_gopher(df)) == n_exchanges(clean_corpus(df))
+
+
 def test_repetition_stats_case_fold(spark):
     # tokens are lowercased before counting: "The the THE" is one gram
     df = _docs(spark, [(1, "The the THE", "en", "s")])
