@@ -257,6 +257,61 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    fps: DataFrame,
+    threshold: float = 0.5,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Asymmetric near-dup detection over winnowing fingerprints: pairs
+    where the SMALLER document's fingerprint set is largely shared —
+    ``containment = |A∩B| / min(|A|, |B|)`` — the quote/subset case
+    (Schleimer et al., SIGMOD 2003 §2: copy detection, not similarity).
+    Jaccard-based MinHash misses these by construction: a short document
+    fully contained in a long one has near-zero Jaccard but containment 1.
+
+    Input is ``(id, fingerprint)`` distinct (:func:`...textstats.fingerprints`).
+    Candidates are pairs sharing ≥1 fingerprint — the standard
+    copy-detection index join. Fingerprint selectivity is what bounds the
+    bucket join on real text (high-entropy k-grams); ``max_bucket`` drops
+    stop-gram-like fingerprints shared by more than that many documents
+    (the same linearity guard as :func:`lsh_candidate_pairs`; a
+    fingerprint half the corpus shares identifies nothing anyway).
+
+    Returns ``(id_a, id_b, n_shared, containment)`` with id_a < id_b,
+    filtered to ≥ threshold.
+    """
+    sizes = fps.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    b = fps
+    if max_bucket is not None:
+        ok = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") <= max_bucket)
+            .select("fingerprint")
+        )
+        b = fps.join(ok, "fingerprint")
+    lhs = b.select("fingerprint", F.col("id").alias("id_a"))
+    rhs = b.select("fingerprint", F.col("id").alias("id_b"))
+    shared = (
+        lhs.join(rhs, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "containment",
+            (F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b"))).cast("double"),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", F.col("n_shared").cast("long").alias("n_shared"), "containment")
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     id_col: str,

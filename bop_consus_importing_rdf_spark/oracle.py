@@ -949,6 +949,16 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(docs, "doc_id", "text", k=7, window=4)
 
 
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import containment_pairs
+    from .operators.textstats import fingerprints
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fps = fingerprints(docs, "doc_id", "text", k=7, window=4)
+    return containment_pairs(fps, threshold=0.5, max_bucket=4096)
+
+
 def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import repetition_stats
     from .sources.catalog import load_table
@@ -1918,6 +1928,35 @@ ORACLES: dict[str, str] = {
         "PARTITION BY id ORDER BY pos "
         "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM g"
     ),
+    "containment_pairs": (
+        # same winnowing-fingerprint CTE as `fingerprints`, then the
+        # asymmetric copy-detection measure |A∩B| / min(|A|,|B|)
+        "WITH g AS (SELECT id, pos, md5(substring(t, pos, 7)) AS gram_hash "
+        "FROM (SELECT doc_id AS id, t, "
+        "  unnest(range(1, greatest(length(t)-6, 1)+1)) AS pos "
+        "  FROM (SELECT doc_id, "
+        "    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t "
+        "    FROM documents))), "
+        "fp AS (SELECT DISTINCT id, min(gram_hash) OVER ("
+        "  PARTITION BY id ORDER BY pos "
+        "  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM g), "
+        # sizes over the UNfiltered fingerprint sets (the hot-bucket cap
+        # below only prunes candidate generation, not the denominator)
+        "sizes AS (SELECT id, count(*) AS n FROM fp GROUP BY id), "
+        "ok AS (SELECT fingerprint FROM fp "
+        "  GROUP BY fingerprint HAVING count(*) <= 4096), "
+        "b AS (SELECT fp.id, fp.fingerprint FROM fp JOIN ok "
+        "  USING (fingerprint)), "
+        "shared AS (SELECT a.id AS id_a, b2.id AS id_b, "
+        "  count(*) AS n_shared FROM b a JOIN b b2 "
+        "  ON a.fingerprint = b2.fingerprint AND a.id < b2.id "
+        "  GROUP BY 1, 2) "
+        "SELECT s.id_a, s.id_b, cast(s.n_shared AS bigint) AS n_shared, "
+        "cast(s.n_shared AS double) / least(na.n, nb.n) AS containment "
+        "FROM shared s JOIN sizes na ON na.id = s.id_a "
+        "JOIN sizes nb ON nb.id = s.id_b "
+        "WHERE cast(s.n_shared AS double) / least(na.n, nb.n) >= 0.5"
+    ),
     "cosine_topk": (
         "WITH v AS (SELECT vec_id, "
         "  list_transform(embedding, x -> "
@@ -2262,6 +2301,7 @@ SPARK_QUERIES = {
     "corpus_clean_gopher": q_corpus_clean_gopher,
     "quality": q_quality,
     "fingerprints": q_fingerprints,
+    "containment_pairs": q_containment_pairs,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,

@@ -124,3 +124,30 @@ def test_simhash_near_pairs(spark):
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert (1, 2) in got
     assert all({a, b} != {4, 5} for a, b in got)
+
+
+def test_containment_subset_doc(spark):
+    """A short document fully quoted inside a long one has containment 1.0
+    but tiny Jaccard — the asymmetric case MinHash misses by construction
+    (Schleimer et al. copy detection vs similarity)."""
+    from bop_consus_importing_rdf_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    # synthetic fingerprint sets: doc 1 = {a..j} (10 fps), doc 2 = {a,b,c}
+    # (subset), doc 3 = {x,y,z} (disjoint)
+    fps = [(1, f"fp{i}") for i in range(10)]
+    fps += [(2, "fp0"), (2, "fp1"), (2, "fp2")]
+    fps += [(3, "qx"), (3, "qy"), (3, "qz")]
+    df = spark.createDataFrame(fps, "id long, fingerprint string")
+
+    out = {
+        (r.id_a, r.id_b): (r.n_shared, r.containment)
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert out == {(1, 2): (3, 1.0)}  # jaccard would be 3/10 = 0.3
+
+    # hot-fingerprint cap drops the shared gram entirely (selectivity
+    # guard), but denominators still count the full sets
+    capped = containment_pairs(df, threshold=0.0, max_bucket=1)
+    assert capped.count() == 0
