@@ -157,3 +157,61 @@ def pack_sequences(
         start.alias("start_offset"),
         F.floor(start / F.lit(budget)).cast("long").alias("seq_id"),
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    ``n``-gram with an evaluation set (the GPT-3 appendix-C / PaLM
+    13-gram rule — a training corpus must not contain eval text, verbatim
+    OR partially quoted).
+
+    Returns ``(id, n_hit_ngrams)`` — one row per contaminated document
+    with the number of distinct leaked n-grams. Feed it to
+    :func:`remove_contaminated` for the cleaned corpus.
+
+    Scale shape: the benchmark side is SMALL by nature (eval suites are
+    megabytes; the corpus is the 100 TB side), so its distinct n-gram set
+    is broadcast — the corpus-side plan is explode → broadcast hash join
+    → partial-agg count, zero corpus shuffles. The gram explode reuses
+    :func:`..dedup.word_ngrams` (materialized token array, O(tokens) not
+    O(tokens²)).
+    """
+    from .dedup import word_ngrams
+
+    doc_grams = word_ngrams(docs, id_col, text_col, n)
+    bench_grams = (
+        word_ngrams(benchmark, bench_id_col, bench_text_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit_ngrams"))
+    )
+
+
+def remove_contaminated(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """The cleaned corpus: ``docs`` minus every document
+    :func:`decontaminate` flags (left anti join on the contaminated id
+    set — the flag side is tiny relative to the corpus, broadcast)."""
+    hits = decontaminate(
+        docs, benchmark, id_col, text_col, bench_id_col, bench_text_col, n
+    ).select(F.col("id").alias(id_col))
+    return docs.join(F.broadcast(hits), id_col, "left_anti")

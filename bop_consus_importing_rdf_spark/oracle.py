@@ -1046,6 +1046,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=512, shard_col="source")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # benchmark = a small deterministic slice of the corpus (doc_id % 90
+    # == 8): realistic decontamination finds both the verbatim leaks (the
+    # slice itself) and the near-dup partial quotes (3 extra docs at
+    # sf0.01 share ≥47 13-grams without being in the slice)
+    from .operators.pretrain import decontaminate
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 90 == 8)
+    return decontaminate(docs, bench, n=13)
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # every click/view enriched with the user's most recent PRIOR error
+    # (timestamp + value; NULL when none) — point-in-time correctness,
+    # no future leakage
+    from .operators.asof import asof_join
+    from .sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    right = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, on="user_id", value_cols=["value"])
+    # the matched timestamp is NULLABLE: ship it as epoch µs — pandas
+    # can't compare NaT-bearing datetime64 columns across the ns (Spark)
+    # / µs (DuckDB) resolutions, exact integers always compare
+    return out.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        # parquet timestamps read as NTZ; the session tz is pinned UTC
+        # (session.py) so the cast to instant is value-preserving
+        F.unix_micros(F.col("asof_ts").cast("timestamp")).alias(
+            "asof_ts_us"
+        ),
+        "asof_value",
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
@@ -1957,6 +2003,28 @@ ORACLES: dict[str, str] = {
         "JOIN sizes nb ON nb.id = s.id_b "
         "WHERE cast(s.n_shared AS double) / least(na.n, nb.n) >= 0.5"
     ),
+    "decontaminate": (
+        # same word-13-gram construction as the Spark side (materialized
+        # token array; short docs collapse to one sub-n gram)
+        "WITH tok AS (SELECT doc_id AS id, "
+        "  string_split_regex(lower(text), '\\s+') AS w FROM documents), "
+        "g AS (SELECT DISTINCT id, "
+        "  array_to_string(w[pos:pos+12], ' ') AS shingle "
+        "  FROM (SELECT id, w, "
+        "    unnest(range(1, greatest(len(w)-12, 1)+1)) AS pos FROM tok)), "
+        "bg AS (SELECT DISTINCT shingle FROM g WHERE id % 90 = 8) "
+        "SELECT g.id, cast(count(*) AS bigint) AS n_hit_ngrams "
+        "FROM g JOIN bg USING (shingle) GROUP BY g.id"
+    ),
+    "events_asof_join": (
+        "SELECT l.event_id, l.ts, l.user_id, l.event_type, l.value, "
+        "epoch_us(r.ts) AS asof_ts_us, r.value AS asof_value "
+        "FROM (SELECT * FROM events "
+        "  WHERE event_type IN ('click', 'view')) l "
+        "ASOF LEFT JOIN (SELECT * FROM events "
+        "  WHERE event_type = 'error') r "
+        "ON l.user_id = r.user_id AND l.ts >= r.ts"
+    ),
     "cosine_topk": (
         "WITH v AS (SELECT vec_id, "
         "  list_transform(embedding, x -> "
@@ -2302,6 +2370,8 @@ SPARK_QUERIES = {
     "quality": q_quality,
     "fingerprints": q_fingerprints,
     "containment_pairs": q_containment_pairs,
+    "decontaminate": q_decontaminate,
+    "events_asof_join": q_events_asof_join,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,
     "sample_stratified": q_sample_stratified,

@@ -299,3 +299,46 @@ def test_repetition_stats_case_fold(spark):
     r = repetition_stats(df).collect()[0]
     assert abs(r["dup_token_frac"] - 2 / 3) < 1e-12
     assert r["top_bigram_frac"] == 1.0
+
+
+def test_decontaminate_ngram_leak(spark):
+    from bop_consus_importing_rdf_spark.operators.pretrain import (
+        decontaminate,
+        remove_contaminated,
+    )
+
+    eval_text = "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"  # one 13-gram
+    rows = [
+        (1, "prefix words " + eval_text + " suffix words", "en", "s"),
+        (2, eval_text, "en", "s"),                        # verbatim leak
+        (3, "totally unrelated text with no overlap at all "
+            "padded out to well over thirteen tokens in total here", "en", "s"),
+        (4, "q0 q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 DIFFERENT", "en", "s"),
+    ]
+    docs = _docs(spark, rows)
+    bench = _docs(spark, [(100, eval_text, "en", "eval")])
+
+    hits = {r.id: r.n_hit_ngrams for r in
+            decontaminate(docs, bench, n=13).collect()}
+    # doc 1 contains the eval 13-gram (partial quote), doc 2 is verbatim;
+    # doc 4 shares only 12 of 13 tokens — NOT flagged at n=13
+    assert hits == {1: 1, 2: 1}
+
+    clean = remove_contaminated(docs, bench, n=13)
+    assert sorted(r.doc_id for r in clean.collect()) == [3, 4]
+
+
+def test_decontaminate_short_bench_doc(spark):
+    """Benchmark items shorter than n collapse to one sub-n gram (same
+    word_ngrams edge rule both engines share) — still detected when a
+    corpus doc IS that exact short text."""
+    from bop_consus_importing_rdf_spark.operators.pretrain import decontaminate
+
+    docs = _docs(spark, [(1, "tiny eval item", "en", "s"),
+                         (2, "tiny eval item plus more trailing words here "
+                             "so the full thirteen gram never matches it",
+                          "en", "s")])
+    bench = _docs(spark, [(9, "tiny eval item", "en", "eval")])
+    hits = {r.id: r.n_hit_ngrams for r in
+            decontaminate(docs, bench, n=13).collect()}
+    assert hits == {1: 1}  # doc 2's sub-gram is longer -> different string
