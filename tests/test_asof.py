@@ -73,3 +73,76 @@ def test_asof_single_exchange_plan(spark):
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    """Property: asof_join == pandas.merge_asof(direction='backward',
+    allow_exact_matches=True) over hypothesis-generated event streams
+    (few keys → dense per-key histories; (key, ts) unique on the right,
+    matching the operator's no-tiebreak contract)."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ts_s = st.integers(min_value=0, max_value=50)
+
+    @given(
+        left=st.lists(st.tuples(st.sampled_from([1, 2, 3]), ts_s),
+                      min_size=1, max_size=25),
+        right=st.lists(st.tuples(st.sampled_from([1, 2, 3]), ts_s,
+                                 st.integers(0, 99)),
+                       min_size=0, max_size=25),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(left, right):
+        # unique (key, ts) on the right: keep the first generated value
+        seen, r_rows = set(), []
+        for k, t, v in right:
+            if (k, t) not in seen:
+                seen.add((k, t))
+                r_rows.append((k, t, float(v)))
+        l_rows = [(i, k, _ts(t)) for i, (k, t) in enumerate(left)]
+        ldf = spark.createDataFrame(
+            l_rows, "event_id long, user_id long, ts timestamp"
+        )
+        rdf = spark.createDataFrame(
+            [(k, _ts(t), v) for k, t, v in r_rows] or
+            [(0, _ts(0), 0.0)],
+            "user_id long, ts timestamp, value double",
+        )
+        if not r_rows:
+            rdf = rdf.filter(F.lit(False))
+        got = {
+            r.event_id: (r.asof_ts, r.asof_value)
+            for r in asof_join(ldf, rdf, on="user_id").collect()
+        }
+
+        lp = pd.DataFrame(l_rows, columns=["event_id", "user_id", "ts"])
+        rp = pd.DataFrame(
+            [(k, _ts(t), v) for k, t, v in r_rows],
+            columns=["user_id", "ts", "value"],
+        )
+        if rp.empty:
+            want = {i: (None, None) for i in lp.event_id}
+        else:
+            m = pd.merge_asof(
+                lp.sort_values("ts", kind="stable"),
+                rp.sort_values("ts", kind="stable"),
+                on="ts", by="user_id", direction="backward",
+                allow_exact_matches=True, suffixes=("", "_r"),
+            )
+            want = {}
+            for row in m.itertuples():
+                matched = not pd.isna(row.value)
+                want[row.event_id] = (
+                    rp[(rp.user_id == row.user_id)
+                       & (rp.ts <= row.ts)].ts.max().to_pydatetime()
+                    if matched else None,
+                    row.value if matched else None,
+                )
+        assert set(got) == set(want)
+        for eid, (wts, wv) in want.items():
+            gts, gv = got[eid]
+            assert gts == wts and gv == wv, (eid, got[eid], (wts, wv))
+
+    check()

@@ -151,3 +151,44 @@ def test_containment_subset_doc(spark):
     # guard), but denominators still count the full sets
     capped = containment_pairs(df, threshold=0.0, max_bucket=1)
     assert capped.count() == 0
+
+
+def test_containment_matches_set_reference(spark):
+    """Property: containment_pairs == pure-Python set arithmetic over
+    hypothesis-generated fingerprint sets (tiny alphabet → dense
+    overlaps)."""
+    from itertools import combinations
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bop_consus_importing_rdf_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    @given(
+        docs=st.lists(
+            st.sets(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+            min_size=1, max_size=8,
+        ),
+        threshold=st.sampled_from([0.3, 0.5, 1.0]),
+    )
+    @settings(max_examples=15, deadline=None)
+    def check(docs, threshold):
+        rows = [(i, fp) for i, s in enumerate(docs) for fp in sorted(s)]
+        df = spark.createDataFrame(rows, "id long, fingerprint string")
+        got = {
+            (r.id_a, r.id_b): (r.n_shared, r.containment)
+            for r in containment_pairs(df, threshold=threshold).collect()
+        }
+        want = {}
+        for a, b in combinations(range(len(docs)), 2):
+            inter = len(docs[a] & docs[b])
+            if inter == 0:
+                continue
+            c = inter / min(len(docs[a]), len(docs[b]))
+            if c >= threshold:
+                want[(a, b)] = (inter, c)
+        assert got == want
+
+    check()
