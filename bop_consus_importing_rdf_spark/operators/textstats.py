@@ -11,7 +11,7 @@ so the driver oracle can verify it value-for-value.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # tiny per-language marker lexicons for the n-gram/stopword heuristic.
@@ -107,35 +107,96 @@ def fingerprints(
     k: int = 7,
     window: int = 4,
 ) -> DataFrame:
-    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003).
+    """Winnowing fingerprints (Schleimer et al., SIGMOD 2003 §4 — the
+    paper's actual Karp-Rabin rolling-hash formulation).
 
-    Rolling k-gram md5 hashes; per sliding window of ``window`` consecutive
-    grams keep the minimum hash; a document's fingerprint set = the distinct
-    selected hashes. Shared fingerprints ⇒ shared substrings — the standard
-    plagiarism / near-dup localizer.
+    Per char position a k-gram hash; per sliding window of ``window``
+    consecutive grams keep the minimum; a document's fingerprint set =
+    the distinct selected hashes. Shared fingerprints ⇒ shared
+    substrings — the standard plagiarism / near-dup localizer.
 
-    Returns ``(id, fingerprint)`` distinct. Pure column ops: explode +
-    window-min; the window is per-document, ordered by gram position.
+    Returns ``(id, fingerprint)`` with ``fingerprint`` a 62-bit BIGINT:
+    two independent 31-bit Horner hashes (bases 257/263 over codepoints,
+    mod 2³¹−1) packed as ``h1·2³¹ + h2`` — collision space 2⁶², integer
+    arithmetic exactly reproducible in any engine (the DuckDB oracle
+    recomputes it with ``list_reduce``). Windows truncate at the
+    document tail; documents shorter than ``k`` hash their whole text;
+    empty text → fingerprint 0.
+
+    Scale shape — ZERO shuffles and ZERO per-gram JVM expression
+    evaluation: the selection is per-document, so everything is
+    row-local. The two rejected spellings, both measured: explode every
+    char position → per-id window-min → global distinct shuffles ~530
+    (id, pos, hash) rows PER DOCUMENT twice (>570s at 1M docs); the
+    higher-order-function ``transform`` spelling is shuffle-free but
+    interpreted per element — ~31s per 100k docs REGARDLESS of hash
+    function (md5 33.6s / xxhash64 30.6s / crc32 31.1s — the HOF
+    machinery dominates, not the hash). Arrow-batched numpy computes the
+    same thing vectorized: the k-1 Horner steps and window minima are
+    whole-array ops, ~10 numpy kernels per document.
     """
     from .parallelism import ensure_min_parallelism
 
     df = ensure_min_parallelism(df, multiplier=200)
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    positions = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
-    grams = df.select(
-        F.col(id_col).alias("id"),
-        norm.alias("_t"),
-        F.explode(positions).alias("pos"),
-    ).select("id", "pos", F.md5(F.expr(f"substring(_t, pos, {k})")).alias("gram_hash"))
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
-    return (
-        grams.withColumn("fingerprint", F.min("gram_hash").over(w))
-        .select("id", "fingerprint")
-        .distinct()
+    id_type = df.schema[id_col].dataType.simpleString()
+    mod, b1, b2 = (1 << 31) - 1, 257, 263
+
+    def winnow(batches):
+        import re as _re
+
+        import numpy as np
+        import pandas as pd
+
+        # ASCII \s: Java (old JVM spelling) and RE2 (DuckDB oracle)
+        # whitespace classes are ASCII-only; Python's default is not
+        ws = _re.compile(r"\s+", _re.ASCII)
+        for pdf in batches:
+            ids = pdf[id_col].values
+            counts = np.empty(len(ids), dtype=np.int64)
+            chunks = []
+            for row_i, raw in enumerate(pdf[text_col].values):
+                t = ws.sub(" ", raw or "").lower()
+                cp = np.frombuffer(
+                    t.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = cp.size
+                if n == 0:
+                    fps = np.zeros(1, dtype=np.int64)
+                else:
+                    kk = k if n >= k else n
+                    m = n - kk + 1
+                    h1 = cp[:m].copy()
+                    h2 = cp[:m].copy()
+                    for j in range(1, kk):
+                        c = cp[j:j + m]
+                        h1 *= b1
+                        h1 += c
+                        h1 %= mod
+                        h2 *= b2
+                        h2 += c
+                        h2 %= mod
+                    gh = (h1 << 31) + h2
+                    mins = gh.copy()
+                    for s in range(1, window):
+                        if s >= m:
+                            break
+                        np.minimum(mins[: m - s], gh[s:], out=mins[: m - s])
+                    fps = np.unique(mins)
+                counts[row_i] = fps.size
+                chunks.append(fps)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, counts),
+                    "fingerprint": (
+                        np.concatenate(chunks)
+                        if chunks
+                        else np.array([], dtype=np.int64)
+                    ),
+                }
+            )
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        winnow, f"id {id_type}, fingerprint long"
     )
 
 

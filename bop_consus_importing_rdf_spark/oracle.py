@@ -1424,6 +1424,26 @@ WITH sh AS (
 )
 """
 
+# Karp-Rabin winnowing fingerprints (k=7, window=4), the exact integer
+# arithmetic of operators/textstats.py:fingerprints: two 31-bit Horner
+# hashes over codepoints (bases 257/263, mod 2^31-1) packed into one
+# BIGINT as h1*2^31 + h2; per-position window-min with truncated tail.
+_FP_CTE = (
+    "WITH cp AS (SELECT doc_id AS id, "
+    "  lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t FROM documents), "
+    "p AS (SELECT id, t, "
+    "  unnest(range(1, greatest(length(t)-6, 1)+1)) AS pos FROM cp), "
+    "g AS (SELECT id, pos, CASE WHEN length(t) = 0 THEN 0 ELSE "
+    "  (list_reduce(list_transform(range(pos, least(pos+7, length(t)+1)), "
+    "   i -> CAST(unicode(t[i]) AS BIGINT)), "
+    "   (a, x) -> (a*257 + x) % 2147483647) * 2147483648) "
+    "  + list_reduce(list_transform(range(pos, least(pos+7, length(t)+1)), "
+    "   i -> CAST(unicode(t[i]) AS BIGINT)), "
+    "   (a, x) -> (a*263 + x) % 2147483647) END AS gh FROM p), "
+    "fp AS (SELECT DISTINCT id, min(gh) OVER (PARTITION BY id ORDER BY pos "
+    "  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM g)"
+)
+
 _SIG_SELECT = (
     "SELECT id, "
     + ", ".join(f"min(md5('p{p}:'||shingle)) AS mh{p}" for p in range(6))
@@ -1963,29 +1983,11 @@ ORACLES: dict[str, str] = {
         "AND coalesce(rep.top_bigram_frac, 0.0) <= 0.05 "
         "AND coalesce(rep.top_trigram_frac, 0.0) <= 0.04"
     ),
-    "fingerprints": (
-        "WITH g AS (SELECT id, pos, md5(substring(t, pos, 7)) AS gram_hash "
-        "FROM (SELECT doc_id AS id, t, "
-        "  unnest(range(1, greatest(length(t)-6, 1)+1)) AS pos "
-        "  FROM (SELECT doc_id, "
-        "    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t "
-        "    FROM documents))) "
-        "SELECT DISTINCT id, min(gram_hash) OVER ("
-        "PARTITION BY id ORDER BY pos "
-        "ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM g"
-    ),
+    "fingerprints": _FP_CTE + " SELECT id, fingerprint FROM fp",
     "containment_pairs": (
-        # same winnowing-fingerprint CTE as `fingerprints`, then the
+        # same Karp-Rabin winnowing CTE as `fingerprints`, then the
         # asymmetric copy-detection measure |A∩B| / min(|A|,|B|)
-        "WITH g AS (SELECT id, pos, md5(substring(t, pos, 7)) AS gram_hash "
-        "FROM (SELECT doc_id AS id, t, "
-        "  unnest(range(1, greatest(length(t)-6, 1)+1)) AS pos "
-        "  FROM (SELECT doc_id, "
-        "    lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t "
-        "    FROM documents))), "
-        "fp AS (SELECT DISTINCT id, min(gram_hash) OVER ("
-        "  PARTITION BY id ORDER BY pos "
-        "  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint FROM g), "
+        _FP_CTE + ", "
         # sizes over the UNfiltered fingerprint sets (the hot-bucket cap
         # below only prunes candidate generation, not the denominator)
         "sizes AS (SELECT id, count(*) AS n FROM fp GROUP BY id), "

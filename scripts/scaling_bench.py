@@ -287,6 +287,42 @@ ROUND5_MD = """
     token counts. Worst case (synthetic corpus where EVERY doc carries
     an email+phone) 21.9s (46k docs/s); realistic clean corpus **4.8s
     (208k docs/s, 112 MB/s)** — 6.7× the first cut, scan-dominated.
+- **Round-5 tail operators probed at scale** (fresh JVM, local[32]):
+  - `asof_join` at 10M events (100 user-offset copies of sf0.1 events,
+    input frozen via localCheckpoint so the probe times the JOIN):
+    **4.1s**, 3.98M enriched left rows (960k out-rows/s, 2.4M
+    events/s through the single union-tag exchange).
+  - `decontaminate` at 1M docs vs a 112-doc benchmark slice: **20.7s**
+    (48k docs/s) — 13-gram explode + broadcast hash join; zero corpus
+    shuffles (the only exchanges build the broadcast eval-gram set).
+  - `fingerprints` (winnowing) REWRITTEN after the probe killed both
+    naive spellings at 1M docs (>570s each): explode-every-position →
+    per-id window-min shuffled ~530 rows/doc twice; the shuffle-free
+    higher-order-function `transform` spelling is interpreted
+    per-element and hash-agnostic slow (100k docs: md5 33.6s /
+    xxhash64 30.6s / crc32 31.1s — the HOF machinery dominates, not
+    the hash). Shipped: Arrow-batched numpy Karp-Rabin (the winnowing
+    paper's own rolling hash; two 31-bit Horner passes packed into one
+    BIGINT, exactly mirrored in DuckDB via list_reduce — oracle stays
+    byte-green): **11.1s at 1M docs (90k docs/s, 99 fps/doc), >51×**.
+  - `containment_pairs` at 1M docs, two corpora. (a) The salted
+    word-salad corpus is degenerate for char-gram methods and the probe
+    proved it QUANTITATIVELY: only ~5.7k DISTINCT fingerprints across
+    99M (id, fp) rows — 2,329 of them shared by >4096 docs each,
+    carrying 5.8e12 candidate pairs; the max_bucket cap is exactly the
+    documented guard (same linearity contract as lsh_candidate_pairs).
+    (b) A realistic high-entropy corpus (1M docs, 80 base36 tokens
+    each from a ~1e12 nonlinear-mixed vocabulary, 1% of docs planted
+    as 30-token quotes of another doc, all deterministic arithmetic):
+    winnow window=32 (MOSS-style; guarantee t=k+w-1=38 chars, far
+    below the ~390-char quotes) → fingerprint landing 18.9s (44.6M
+    fps), containment join **16.2s, 9999/9999 planted quote pairs
+    detected, ZERO false positives at threshold 0.5**. Two probe
+    lessons recorded: the winnow window is the scale knob (window=4
+    emitted 436 fps/doc and spilled >60GB in the self-join; window=32
+    emits 45/doc), and digit-only token spellings are NOT high-entropy
+    at the char level (10-char alphabet → hot grams → pair blowup;
+    base36 fixed it).
 """
 
 

@@ -95,3 +95,58 @@ def test_clean_corpus_chain(spark):
     assert set(got) == {1}
     assert got[1].lang_pred == "en"
     assert got[1].quality_score >= 0.6
+
+
+def test_fingerprints_match_pure_python_winnowing(spark):
+    """Property: the vectorized numpy Karp-Rabin winnowing == a direct
+    pure-Python-int reference (independent arithmetic — catches numpy
+    overflow/alignment bugs) over adversarial texts incl. unicode,
+    whitespace runs, short and empty documents."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import re
+
+    M, B1, B2 = (1 << 31) - 1, 257, 263
+    K, W = 7, 4
+
+    def ref(text):
+        t = re.sub(r"\s+", " ", text, flags=re.ASCII).lower()
+        if not t:
+            return {0}
+        kk = min(K, len(t))
+        grams = [t[i:i + kk] for i in range(len(t) - kk + 1)]
+
+        def h(g):
+            a1 = a2 = 0
+            for ch in g:
+                c = ord(ch)
+                a1, a2 = (a1 * B1 + c) % M, (a2 * B2 + c) % M
+            # Horner seeded by the first char (no leading-zero mult)
+            return ((a1 % M) << 31) + a2
+
+        hs = [h(g) for g in grams]
+        return {min(hs[i:i + W]) for i in range(len(hs))}
+
+    @given(
+        st.lists(
+            st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",)),
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def check(texts):
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "id long, text string"
+        )
+        got = {}
+        for r in fingerprints(df, "id", "text").collect():
+            got.setdefault(r.id, set()).add(r.fingerprint)
+        for i, t in enumerate(texts):
+            assert got[i] == ref(t), (i, repr(t))
+
+    check()
