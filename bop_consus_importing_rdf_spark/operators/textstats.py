@@ -216,16 +216,78 @@ def repetition_stats(
     NULL for that n's fraction (no grams to measure).
 
     Plan shape at scale: these are PER-DOCUMENT statistics — no
-    cross-document aggregation exists, so no shuffle should either. The
-    mode count of a gram multiset equals the maximum run length of the
-    sorted gram array, so everything computes row-local with built-in
-    higher-order functions (sort_array + an O(n) ``aggregate`` run-length
-    scan): zero exchanges, JVM-side throughout, linear in document tokens
-    after the per-document O(n log n) sort. (A first cut exploded
-    (doc, n, gram) rows through two map-side-combinable aggregations —
-    same answers, but it shuffled ~3× the corpus token count: 89s vs this
-    at 1M docs. Measured, recorded in BENCH/BASELINE.md.)
+    cross-document aggregation exists, so no shuffle should either.
+    Tokenization stays JVM-side (:func:`_lower_tokens`, so the token
+    semantics are identical to the filter-chain spelling by
+    construction); the mode counting runs as ONE Arrow-batched numpy
+    stage. Three spellings measured at 1M docs (BENCH/BASELINE.md):
+    explode + two map-side-combinable aggs shuffled ~3× the corpus
+    tokens (89.3s); the zero-shuffle JVM higher-order-function
+    sort_array + run-length fold (kept as
+    :func:`repetition_stats_columns` for the gopher filter chain) is
+    interpreted per element (40.6s); this Arrow path is 16.0s —
+    value-exact equal to both.
     """
+    base = (
+        df.select(
+            F.col(id_col).alias(id_col),
+            _lower_tokens(F.col(text_col)).alias("toks"),
+        )
+        .filter(F.size(F.col("toks")) >= 1)
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n_rows = len(pdf)
+            dup = np.empty(n_rows)
+            big = pd.array([pd.NA] * n_rows, dtype="Float64")
+            tri = pd.array([pd.NA] * n_rows, dtype="Float64")
+            for r, tl in enumerate(pdf["toks"].values):
+                t = list(tl)
+                n = len(t)
+                dup[r] = 1.0 - len(set(t)) / n
+                if n >= 2:
+                    g = [t[i] + " " + t[i + 1] for i in range(n - 1)]
+                    _, c = np.unique(g, return_counts=True)
+                    big[r] = int(c.max()) / (n - 1)
+                if n >= 3:
+                    g = [
+                        t[i] + " " + t[i + 1] + " " + t[i + 2]
+                        for i in range(n - 2)
+                    ]
+                    _, c = np.unique(g, return_counts=True)
+                    tri[r] = int(c.max()) / (n - 2)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "dup_token_frac": dup,
+                    "top_bigram_frac": big,
+                    "top_trigram_frac": tri,
+                }
+            )
+
+    return base.mapInPandas(
+        stats,
+        f"{id_col} {id_type}, dup_token_frac double, "
+        "top_bigram_frac double, top_trigram_frac double",
+    )
+
+
+def repetition_stats_columns(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The pure-column-expression spelling of :func:`repetition_stats`
+    (sort_array + O(n) run-length fold). Kept because the SAME column
+    functions (:func:`dup_token_frac` / :func:`top_ngram_frac`) compose
+    into :func:`clean_corpus_gopher`'s zero-extra-exchange filter chain,
+    where a mapInPandas stage cannot; proven value-equal to the Arrow
+    path by test + the 20k-slice A/B (BENCH/BASELINE.md)."""
     toks = _lower_tokens(F.col(text_col))
     return df.select(F.col(id_col).alias(id_col), toks.alias("toks")).filter(
         F.size(F.col("toks")) >= 1

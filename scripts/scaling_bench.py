@@ -277,7 +277,15 @@ ROUND5_MD = """
     need no cross-document aggregation: mode count == max run length of
     the sorted gram array, row-local sort_array + O(n) aggregate fold —
     **45.6s (22k docs/s), 1.96×, ZERO exchanges** (plan = Filter +
-    Project over the scan).
+    Project over the scan). Round-5 tail: the fold is a JVM
+    higher-order function, interpreted per element (the fingerprints
+    lesson) — moving ONLY the mode counting to an Arrow numpy stage
+    while tokenization stays JVM-side (token semantics identical by
+    construction) gives **16.0s (63k docs/s), 2.5× again**, value-exact
+    equal (20k-slice frame-equal + hypothesis equality pin); the
+    column spelling is kept as repetition_stats_columns for the
+    clean_corpus_gopher filter chain, which composes column
+    expressions and stays exchange-free.
   - `pii_redact`: first cut ran 6 full regex passes = 32.0s. Profiling
     per pattern: the EMAIL pattern costs 12.5s/pass (its leading char
     class engages Java's backtracker at every letter) vs 1.7s (IPv4) /

@@ -342,3 +342,39 @@ def test_decontaminate_short_bench_doc(spark):
     hits = {r.id: r.n_hit_ngrams for r in
             decontaminate(docs, bench, n=13).collect()}
     assert hits == {1: 1}  # doc 2's sub-gram is longer -> different string
+
+
+def test_repetition_stats_arrow_equals_column_spelling(spark):
+    """The Arrow mode-counting path and the column-expression spelling
+    (composed into clean_corpus_gopher) must agree value-for-value,
+    including NULLs for docs shorter than the n-gram order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from bop_consus_importing_rdf_spark.operators.textstats import (
+        repetition_stats,
+        repetition_stats_columns,
+    )
+
+    @given(
+        st.lists(
+            st.lists(st.sampled_from(["a", "b", "ab", "x"]),
+                     min_size=0, max_size=6),
+            min_size=1, max_size=12,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def check(docs):
+        df = _docs(
+            spark,
+            [(i, " ".join(toks), "en", "s") for i, toks in enumerate(docs)],
+        )
+        a = {r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"],
+                           r["top_trigram_frac"])
+             for r in repetition_stats(df).collect()}
+        b = {r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"],
+                           r["top_trigram_frac"])
+             for r in repetition_stats_columns(df).collect()}
+        assert a == b  # exact, including None vs None
+
+    check()
