@@ -547,3 +547,110 @@ def simhash_near_pairs64(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (semantic dedup)
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int = 96,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket: int | None = 4096,
+    quantized: bool = False,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup clustering: ``(id, rep_id)`` —
+    rep = min id of the cosine-near-dup cluster (connected component over
+    ``cosine >= threshold`` edges).
+
+    The SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    with the repo's LSH machinery: candidate buckets come from
+    random-hyperplane band keys (:func:`.similarity.rhp_signature` —
+    deterministic ±1 planes, engine-reproducible) instead of k-means
+    cells. Unlike the minhash star (where bucket membership itself implies
+    probable similarity), a coarse RHP bucket is just a partition — a
+    star against its min-id member would test near-dup edges against a
+    RANDOM representative and lose them. So dedup banding must be
+    HIGH-SELECTIVITY: ``n_planes // bands`` bits per band (default 24 →
+    2^24 keys per band) makes shared buckets near-dup evidence and keeps
+    buckets singleton-ish up to ~10^8 rows, and candidates are the
+    within-bucket CLIQUE (tiny B, so B² is linear overall), capped by
+    ``max_bucket`` against degenerate mass-duplicate buckets (same
+    contract as :func:`minhash_dedup`'s cap). ``bands`` is the recall
+    knob: P(candidate) = 1-(1-(1-θ/π)^bits)^bands — ~1.0 for exact/scaled
+    copies, ~0.8 at cosine 0.99, falling toward the threshold boundary;
+    more bands buy recall linearly in signature cost.
+
+    ``quantized=True`` floors each float to ``floor(x*1000)`` long before
+    BOTH the signature and the cosine (exact integer dot products
+    accumulated in double, single final sqrt-of-product division) — every
+    stage byte-identical to the DuckDB twin, same trick as
+    ``rhp_ann_topk``.
+
+    Scale: signature cost is ``n_planes × dim`` multiply-adds per row
+    (one array-literal ``transform``); the bucket self-join shuffles on
+    the band key (uniform by plane construction); per-edge work is one
+    dim-length dot product. No stage is super-linear in corpus size.
+    """
+    from ..kg.cc import connected_components
+    from .similarity import _dot, cosine, rademacher_planes, rhp_signature
+
+    planes = rademacher_planes(n_planes, dim, seed)
+    v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
+    if quantized:
+        v = v.withColumn(
+            "_v",
+            F.transform(
+                F.col("_v"),
+                lambda x: F.floor(x.cast("double") * 1000).cast("long"),
+            ),
+        )
+    banded = v.select(
+        "id",
+        "_v",
+        F.explode(
+            rhp_signature(F.col("_v"), planes, bands, quantized)
+        ).alias("band_key"),
+    )
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        banded = banded.join(ok, "band_key", "left_semi")
+    l = banded.select(
+        F.col("band_key"), F.col("id").alias("id_a"), F.col("_v").alias("_va")
+    )
+    r = banded.select(
+        F.col("band_key"), F.col("id").alias("id_b"), F.col("_v").alias("_vb")
+    )
+    cand = (
+        l.join(r, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    if quantized:
+        sim = _dot(F.col("_va"), F.col("_vb")) / F.sqrt(
+            _dot(F.col("_va"), F.col("_va")) * _dot(F.col("_vb"), F.col("_vb"))
+        )
+    else:
+        sim = cosine(F.col("_va"), F.col("_vb"))
+    edges = (
+        cand.select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    all_ids = vectors.select(F.col(id_col).alias("id"))
+    return all_ids.join(
+        comp.withColumnRenamed("node", "id"), "id", "left"
+    ).select("id", F.coalesce("component", F.col("id")).alias("rep_id"))

@@ -386,14 +386,23 @@ def rhp_signature(
             F.lit("1"),
         ).otherwise("0"),
     )
-    keys = []
-    for b in range(bands):
-        seg = [
-            F.element_at(bits_arr, b * per_band + r + 1)
-            for r in range(per_band)
-        ]
-        keys.append(F.concat(F.lit(f"{b}:"), *seg))
-    return F.array(*keys)
+    # Band keys via ONE transform over slice(bits_arr, …) — NOT
+    # bands × per_band element_at() calls: each element_at embeds a full
+    # copy of bits_arr (and with it the whole plane-matrix literal), so the
+    # unrolled form is O(n_planes² × dim) expression nodes — at 96 planes
+    # that was a ~10 MiB task binary and ~200 s of Janino compilation
+    # before any data moved. Here bits_arr appears exactly once.
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.concat(
+            b.cast("string"),
+            F.lit(":"),
+            F.array_join(
+                F.slice(bits_arr, b * F.lit(per_band) + 1, F.lit(per_band)),
+                "",
+            ),
+        ),
+    )
 
 
 def rhp_ann_topk(

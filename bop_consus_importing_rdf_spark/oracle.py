@@ -1271,6 +1271,30 @@ def q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_dedup_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering (SemDeDup shape), fully
+    oracle-checked: the corpus is the embeddings table plus 50 planted
+    scaled copies (``2×`` each vector — same direction, so quantized
+    cosine ≈ 1), pushed through high-selectivity RHP banding →
+    within-bucket clique → quantized-exact cosine edges → connected
+    components. DuckDB mirrors every stage (96-plane VALUES literal,
+    integer dots, recursive-CTE CC)."""
+    from .operators.dedup import embedding_dedup
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0).cast("float")).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return embedding_dedup(
+        corpus, threshold=0.9, n_planes=96, bands=4, quantized=True
+    )
+
+
 def q_ann_rhp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH ANN, quantized-exact (engine-stable integer
     signature bits + single-division cosine) so the bucket join, dedup and
@@ -2166,6 +2190,36 @@ ORACLES: dict[str, str] = {
         "FROM (SELECT DISTINCT entity_uri FROM aliases) u "
         "LEFT JOIN comp c ON c.src = u.entity_uri"
     ),
+    "embedding_dedup_vecs": (
+        "WITH RECURSIVE base AS ("
+        "  SELECT vec_id, embedding FROM embeddings "
+        "  UNION ALL "
+        "  SELECT vec_id + 100000, list_transform(embedding, x -> "
+        "    cast(x * 2 AS real)) FROM embeddings WHERE vec_id < 50), "
+        "v AS (SELECT vec_id AS id, list_transform(embedding, x -> "
+        "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv FROM base), "
+        "planes AS (" + _planes_values_sql(96) + "), "
+        "sigbits AS (SELECT id, p_idx, CASE WHEN "
+        "  list_dot_product(v.qv, p.plane) >= 0 THEN '1' ELSE '0' END AS bit "
+        "  FROM v CROSS JOIN planes p), "
+        "banded AS (SELECT id, cast(p_idx//24 AS varchar) || ':' || "
+        "  string_agg(bit, '' ORDER BY p_idx) AS band_key "
+        "  FROM sigbits GROUP BY id, p_idx//24), "
+        "bn AS (SELECT band_key FROM banded GROUP BY band_key "
+        "  HAVING count(*) <= 4096), "
+        "bb AS (SELECT b.* FROM banded b JOIN bn USING (band_key)), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bb a "
+        "  JOIN bb b ON a.band_key = b.band_key AND a.id < b.id), "
+        "edges AS (SELECT c.id_a AS a, c.id_b AS b FROM cand c "
+        "  JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b "
+        "  WHERE list_dot_product(va.qv, vb.qv) / "
+        "    sqrt(list_dot_product(va.qv, va.qv) "
+        "       * list_dot_product(vb.qv, vb.qv)) >= 0.9), "
+        + _CC_CTE +
+        " SELECT u.id, coalesce(c.component, u.id) AS rep_id "
+        "FROM (SELECT vec_id AS id FROM base) u "
+        "LEFT JOIN comp c ON c.src = u.id"
+    ),
     "ann_rhp_topk": (
         "WITH v AS (SELECT vec_id, list_transform(embedding, x -> "
         "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv "
@@ -2388,6 +2442,7 @@ SPARK_QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "entity_canonical_map": q_entity_canonical_map,
+    "embedding_dedup_vecs": q_embedding_dedup_vecs,
     "ann_rhp_topk": q_ann_rhp_topk,
     "ivf_topk": q_ivf_topk,
     "events_stable_order": q_events_stable_order,
