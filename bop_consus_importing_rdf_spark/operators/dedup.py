@@ -562,7 +562,7 @@ def embedding_dedup(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
-    max_bucket: int | None = 4096,
+    max_bucket: int | None = 512,
     quantized: bool = False,
 ) -> DataFrame:
     """Semantic (embedding-cosine) near-dup clustering: ``(id, rep_id)`` —
@@ -595,11 +595,19 @@ def embedding_dedup(
 
     Scale: signature cost is ``n_planes × dim`` multiply-adds per row
     (one array-literal ``transform``); the bucket self-join shuffles on
-    the band key (uniform by plane construction); per-edge work is one
-    dim-length dot product. No stage is super-linear in corpus size.
+    the band key (uniform by plane construction) and carries ONLY
+    ``(band_key, id)`` — candidate pairs are deduplicated as bare 16-byte
+    id pairs and the vectors re-attached by two id-joins just before the
+    cosine, so the pair shuffle never carries ``2 × dim`` floats per row
+    (a 1M-row probe with degenerate near-cap buckets spilled >60 GB in
+    the vector-carrying spelling). ``max_bucket`` bounds per-bucket pair
+    fan-out at ``max_bucket²/2``; at 24-bit band selectivity an over-full
+    bucket means mass near-identical vectors — run exact dedup first,
+    the same contract as :func:`minhash_dedup`'s cap. No stage is
+    super-linear in corpus size.
     """
     from ..kg.cc import connected_components
-    from .similarity import _dot, cosine, rademacher_planes, rhp_signature
+    from .similarity import _dot, cosine, rademacher_planes, rhp_signature_np
 
     planes = rademacher_planes(n_planes, dim, seed)
     v = vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("_v"))
@@ -611,13 +619,16 @@ def embedding_dedup(
                 lambda x: F.floor(x.cast("double") * 1000).cast("long"),
             ),
         )
+    # numpy signature (23× the HOF expression at this plane count) is a
+    # Python producer with THREE downstream consumers (cap agg, semi-join
+    # probe, pair self-join) — localCheckpoint so ArrowEvalPython runs
+    # once and the self-join reads a materialized exchange-free source.
     banded = v.select(
         "id",
-        "_v",
         F.explode(
-            rhp_signature(F.col("_v"), planes, bands, quantized)
+            rhp_signature_np(planes, bands, quantized)(F.col("_v"))
         ).alias("band_key"),
-    )
+    ).localCheckpoint(eager=False)
     if max_bucket is not None:
         ok = (
             banded.groupBy("band_key")
@@ -626,17 +637,22 @@ def embedding_dedup(
             .drop("_bn")
         )
         banded = banded.join(ok, "band_key", "left_semi")
-    l = banded.select(
-        F.col("band_key"), F.col("id").alias("id_a"), F.col("_v").alias("_va")
-    )
-    r = banded.select(
-        F.col("band_key"), F.col("id").alias("id_b"), F.col("_v").alias("_vb")
+    pairs = (
+        banded.select("band_key", F.col("id").alias("id_a"))
+        .join(banded.select("band_key", F.col("id").alias("id_b")), "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
     cand = (
-        l.join(r, "band_key")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
-        .dropDuplicates(["id_a", "id_b"])
+        pairs.join(
+            v.select(F.col("id").alias("id_a"), F.col("_v").alias("_va")),
+            "id_a",
+        )
+        .join(
+            v.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb")),
+            "id_b",
+        )
     )
     if quantized:
         sim = _dot(F.col("_va"), F.col("_vb")) / F.sqrt(

@@ -2206,7 +2206,7 @@ ORACLES: dict[str, str] = {
         "  string_agg(bit, '' ORDER BY p_idx) AS band_key "
         "  FROM sigbits GROUP BY id, p_idx//24), "
         "bn AS (SELECT band_key FROM banded GROUP BY band_key "
-        "  HAVING count(*) <= 4096), "
+        "  HAVING count(*) <= 512), "
         "bb AS (SELECT b.* FROM banded b JOIN bn USING (band_key)), "
         "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bb a "
         "  JOIN bb b ON a.band_key = b.band_key AND a.id < b.id), "
