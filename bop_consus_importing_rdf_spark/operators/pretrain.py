@@ -159,6 +159,144 @@ def pack_sequences(
     )
 
 
+def shuffle_shards(
+    df: DataFrame, id_col: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards.
+
+    Every LLM data pipeline ends with "shuffle the corpus": examples must
+    reach the trainer in an order uncorrelated with their source/crawl
+    layout. A random shuffle is irreproducible; this one is a pure
+    function of the row id — ``shard = md5_bucket(id, n_shards)`` and
+    ``pos`` = rank of ``md5(id)`` within the shard (ties broken by id) —
+    so re-runs, backfills and both engines produce the identical layout.
+    md5 is uniform, so shards are balanced and the within-shard order is
+    indistinguishable from random w.r.t. any input attribute.
+
+    Returns the input columns plus ``shard`` and ``pos``.
+
+    Scale shape: ONE exchange (hash on ``shard``) plus a per-shard sort —
+    exactly the floor for any global shuffle; no global total order, no
+    single reducer. Pick ``n_shards`` ≥ the writer parallelism of the
+    target cluster (shards are the output-file unit; at 100 TB that is
+    10⁴-10⁵, keeping each shard's sort in-memory).
+    """
+    sort_key = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy("shard").orderBy(sort_key, F.col(id_col))
+    return df.withColumn(
+        "shard", md5_bucket(F.col(id_col), n_shards).cast("long")
+    ).withColumn("pos", F.row_number().over(w).cast("long"))
+
+
+def _hashed_grams(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int
+) -> DataFrame:
+    """One row per word unigram/bigram INSTANCE: ``(id, bucket)`` with
+    ``bucket = md5_bucket(gram, n_buckets)`` — the DSIR paper's hashed
+    bag-of-ngrams features (Xie et al. 2023, §3: unigrams+bigrams hashed
+    into 10k buckets). Raw counts, NOT per-doc distinct — importance
+    weights are over the token distribution, so multiplicity matters
+    (unlike :func:`..dedup.word_ngrams`' set semantics).
+
+    The token array is materialized in its own projection before the
+    bigram ``transform`` (the measured O(tokens²) Catalyst re-eval trap,
+    see word_ngrams).
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    t = F.col("_toks")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i), F.element_at(t, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        .select("id", F.explode(F.concat(t, bigrams)).alias("_gram"))
+        .select("id", md5_bucket(F.col("_gram"), n_buckets).alias("bucket"))
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    n_buckets: int = 8192,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """DSIR importance weights: how target-like is each raw document?
+
+    Data Selection via Importance Resampling (Xie et al., NeurIPS 2023):
+    fit bag-of-hashed-ngram unigram models of the target corpus ``p`` and
+    the raw corpus ``q`` (add-one smoothed over ``n_buckets`` hash
+    buckets), then weight each raw document by its log importance ratio
+    ``log w(x) = Σ_g [log p(bucket(g)) − log q(bucket(g))]`` over the
+    document's gram instances. Resampling-by-weight (the paper's top-k /
+    Gumbel step) is the caller's one-liner on the returned column.
+
+    Returns ``(id, n_grams, logw_q)`` for every raw document with ≥1
+    gram, where ``logw_q`` is the integer-quantized log weight: each
+    bucket's log ratio is ``floor(scale · ln((cnt_t+1)(R+B) /
+    ((cnt_r+1)(T+B))))`` and the per-doc sum is pure BIGINT arithmetic —
+    order-insensitive, so Spark and the DuckDB oracle agree exactly
+    (the same quantize-then-integer-reduce discipline as the cosine and
+    winnowing paths; doubles enter only inside the per-bucket ``ln``,
+    where both engines evaluate the identical expression once).
+
+    Scale shape: the corpus is read twice (once to count ``q``, once to
+    score) — both passes are explode → map-side-combinable aggregations;
+    the only wide ops are two B-row count shuffles, a broadcast of the
+    B-row λ table, and one ``(id, long)`` groupBy. The target side is
+    small by nature (a quality slice / wiki / books), and nothing about
+    it is ever driver-collected.
+    """
+    tcol = target_text_col or text_col
+    raw_g = _hashed_grams(docs, id_col, text_col, n_buckets)
+    tgt_g = _hashed_grams(target, id_col, tcol, n_buckets)
+    cnt_r = raw_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
+    cnt_t = tgt_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
+    totals = cnt_r.agg(F.sum("_cr").alias("_R")).crossJoin(
+        cnt_t.agg(F.sum("_ct").alias("_T"))
+    )
+    # buckets needed for scoring are exactly cnt_r's keys (every scored
+    # gram was counted), so the λ table is cnt_r ⟕ cnt_t — no dense
+    # 0..B-1 frame needed; absent target buckets smooth to cnt_t = 0
+    lam = (
+        cnt_r.join(cnt_t, "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.floor(
+                F.lit(scale)
+                * F.log(
+                    (
+                        (F.coalesce(F.col("_ct"), F.lit(0)) + 1)
+                        * (F.col("_R") + n_buckets)
+                    ).cast("double")
+                    / ((F.col("_cr") + 1) * (F.col("_T") + n_buckets)).cast(
+                        "double"
+                    )
+                )
+            )
+            .cast("long")
+            .alias("_lam"),
+        )
+    )
+    return (
+        raw_g.join(F.broadcast(lam), "bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("_lam").cast("long").alias("logw_q"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,

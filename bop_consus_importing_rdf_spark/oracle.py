@@ -1046,6 +1046,29 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=512, shard_col="source")
 
 
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.pretrain import shuffle_shards
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", n_shards=16).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # target distribution = a small deterministic corpus slice (doc_id %
+    # 17 == 5, ~6%) standing in for the paper's quality corpus; the slice
+    # itself scores visibly higher than the rest (sf0.01: mean logw_q
+    # −86.2M vs −107.6M), which is the operator's point
+    from .operators.pretrain import dsir_weights
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 5)
+    return dsir_weights(docs, target)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark = a small deterministic slice of the corpus (doc_id % 90
     # == 8): realistic decontamination finds both the verbatim leaks (the
@@ -2029,6 +2052,38 @@ ORACLES: dict[str, str] = {
         "JOIN sizes nb ON nb.id = s.id_b "
         "WHERE cast(s.n_shared AS double) / least(na.n, nb.n) >= 0.5"
     ),
+    "shuffle_shards": (
+        "SELECT doc_id, shard, cast(row_number() OVER ("
+        "  PARTITION BY shard "
+        "  ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS bigint) AS pos "
+        "FROM (SELECT doc_id, "
+        "  ('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8))::bigint "
+        "  % 16 AS shard FROM documents)"
+    ),
+    "dsir_weights": (
+        # hashed unigram+bigram instances (raw counts, not distinct) →
+        # add-one-smoothed per-bucket log ratio quantized to BIGINT →
+        # integer per-doc sum: order-insensitive, engine-exact
+        "WITH tok AS (SELECT doc_id AS id, "
+        "  string_split_regex(lower(text), '\\s+') AS w FROM documents), "
+        "g0 AS (SELECT id, unnest(list_concat(w, "
+        "  CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+        "    i -> w[i] || ' ' || w[i+1]) ELSE [] END)) AS gram FROM tok), "
+        "g AS (SELECT id, ('0x' || substring(md5(gram), 1, 8))::bigint "
+        "  % 8192 AS bucket FROM g0), "
+        "cr AS (SELECT bucket, count(*) AS cr FROM g GROUP BY bucket), "
+        "ct AS (SELECT bucket, count(*) AS ct FROM g WHERE id % 17 = 5 "
+        "  GROUP BY bucket), "
+        "tot AS (SELECT (SELECT count(*) FROM g) AS R, "
+        "  (SELECT count(*) FROM g WHERE id % 17 = 5) AS T), "
+        "lam AS (SELECT cr.bucket, cast(floor(1000000 * ln("
+        "    cast((coalesce(ct.ct, 0) + 1) * (tot.R + 8192) AS double) "
+        "  / cast((cr.cr + 1) * (tot.T + 8192) AS double))) AS bigint) "
+        "  AS lam FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot) "
+        "SELECT g.id, cast(count(*) AS bigint) AS n_grams, "
+        "cast(sum(lam.lam) AS bigint) AS logw_q "
+        "FROM g JOIN lam USING (bucket) GROUP BY g.id"
+    ),
     "decontaminate": (
         # same word-13-gram construction as the Spark side (materialized
         # token array; short docs collapse to one sub-n gram)
@@ -2427,6 +2482,8 @@ SPARK_QUERIES = {
     "fingerprints": q_fingerprints,
     "containment_pairs": q_containment_pairs,
     "decontaminate": q_decontaminate,
+    "shuffle_shards": q_shuffle_shards,
+    "dsir_weights": q_dsir_weights,
     "events_asof_join": q_events_asof_join,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,

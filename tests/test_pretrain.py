@@ -378,3 +378,82 @@ def test_repetition_stats_arrow_equals_column_spelling(spark):
         assert a == b  # exact, including None vs None
 
     check()
+
+
+def test_shuffle_shards_deterministic_permutation(spark):
+    from bop_consus_importing_rdf_spark.operators.pretrain import shuffle_shards
+
+    df = _docs(spark, [(i, f"doc {i}", "en", "s") for i in range(200)])
+    out = shuffle_shards(df, "doc_id", n_shards=8).collect()
+    # a permutation: every row kept, (shard, pos) unique, pos dense per shard
+    assert len(out) == 200
+    assert len({(r["shard"], r["pos"]) for r in out}) == 200
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, positions in by_shard.items():
+        assert sorted(positions) == list(range(1, len(positions) + 1)), shard
+    assert set(by_shard) <= set(range(8))
+    # deterministic: a re-run (fresh plan) lands every id identically
+    again = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(df, "doc_id", n_shards=8).collect()
+    }
+    assert {r["doc_id"]: (r["shard"], r["pos"]) for r in out} == again
+    # decorrelated from input order: consecutive ids do not ride together
+    first = {r["doc_id"]: (r["shard"], r["pos"]) for r in out}
+    same_shard_adjacent = sum(
+        1 for i in range(199) if first[i][0] == first[i + 1][0]
+    )
+    assert same_shard_adjacent < 60  # ~25 expected at 8 uniform shards
+
+
+def test_dsir_weights_matches_python_reference(spark):
+    import hashlib
+    import math
+    from collections import Counter
+
+    from bop_consus_importing_rdf_spark.operators.pretrain import dsir_weights
+
+    rows = [
+        (1, "the cat sat on the mat", "en", "s"),
+        (2, "the dog sat on the log", "en", "s"),
+        (3, "quantum flux harmonics resonate", "en", "s"),
+        (4, "the cat and the dog sat", "en", "s"),
+        (5, "", "en", "s"),
+        (6, "single", "en", "s"),
+    ]
+    docs = _docs(spark, rows)
+    target = docs.filter(F.col("doc_id").isin(1, 4))
+    B, SCALE = 8192, 1_000_000
+
+    def grams(text: str) -> list[int]:
+        # mirror the \s+ regex split: fixtures are single-space only, and
+        # the empty doc splits to [""] in both engines
+        toks = text.lower().split(" ")
+        gs = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        return [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B for g in gs
+        ]
+
+    raw = {i: grams(t) for i, t, _, _ in rows}
+    tgt = {i: raw[i] for i in (1, 4)}
+    cr = Counter(b for g in raw.values() for b in g)
+    ct = Counter(b for g in tgt.values() for b in g)
+    R, T = sum(cr.values()), sum(ct.values())
+    lam = {
+        b: math.floor(
+            SCALE * math.log((ct[b] + 1) * (R + B) / ((cr[b] + 1) * (T + B)))
+        )
+        for b in cr
+    }
+    expected = {
+        i: (len(g), sum(lam[b] for b in g)) for i, g in raw.items()
+    }
+    got = {
+        r["id"]: (r["n_grams"], r["logw_q"])
+        for r in dsir_weights(docs, target).collect()
+    }
+    assert got == expected
+    # target members must outscore the out-of-distribution doc per gram
+    assert got[1][1] / got[1][0] > got[3][1] / got[3][0]
