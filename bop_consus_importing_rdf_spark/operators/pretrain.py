@@ -200,8 +200,12 @@ def _hashed_grams(
 
     The token array is materialized in its own projection before the
     bigram ``transform`` (the measured O(tokens²) Catalyst re-eval trap,
-    see word_ngrams).
+    see word_ngrams); narrow inputs are fanned out before the explode
+    (a 1-partition 1M-doc probe ran the md5 stage on one core).
     """
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, multiplier=200)
     toks = F.split(F.lower(F.col(text_col)), r"\s+")
     t = F.col("_toks")
     bigrams = F.when(
@@ -248,20 +252,47 @@ def dsir_weights(
     winnowing paths; doubles enter only inside the per-bucket ``ln``,
     where both engines evaluate the identical expression once).
 
-    Scale shape: the corpus is read twice (once to count ``q``, once to
-    score) — both passes are explode → map-side-combinable aggregations;
-    the only wide ops are two B-row count shuffles, a broadcast of the
-    B-row λ table, and one ``(id, long)`` groupBy. The target side is
-    small by nature (a quality slice / wiki / books), and nothing about
-    it is ever driver-collected.
+    Scale shape: the corpus is read exactly TWICE — DSIR's floor (one
+    pass to count ``q``, one to score). The count pass folds per-bucket
+    counts AND the grand total into a single ``rollup`` aggregation
+    (map-side combinable, B+1 output rows) whose tiny result is
+    checkpointed, so the gram-explode subtree is never re-evaluated for
+    the totals (the naive spelling evaluated it three times — measured
+    at 1M docs). The only wide ops are two (B+1)-row count shuffles, a
+    broadcast of the B-row λ table, and one ``(id, long)`` groupBy. The
+    target side is small by nature (a quality slice / wiki / books),
+    and nothing about it is ever driver-collected.
     """
     tcol = target_text_col or text_col
     raw_g = _hashed_grams(docs, id_col, text_col, n_buckets)
     tgt_g = _hashed_grams(target, id_col, tcol, n_buckets)
-    cnt_r = raw_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_cr"))
-    cnt_t = tgt_g.groupBy("bucket").agg(F.count(F.lit(1)).alias("_ct"))
-    totals = cnt_r.agg(F.sum("_cr").alias("_R")).crossJoin(
-        cnt_t.agg(F.sum("_ct").alias("_T"))
+    # rollup = per-bucket counts + the NULL-bucket grand-total row in one
+    # aggregation; buckets are md5 residues, never NULL, so the marker is
+    # unambiguous. localCheckpoint (B+1 rows) because each frame has two
+    # consumers (λ join + totals) whose re-evaluation would re-run the
+    # full corpus explode.
+    raw_cnt = (
+        raw_g.rollup("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    tgt_cnt = (
+        tgt_g.rollup("bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .localCheckpoint(eager=False)
+    )
+    cnt_r = raw_cnt.filter(F.col("bucket").isNotNull()).select(
+        "bucket", F.col("_n").alias("_cr")
+    )
+    cnt_t = tgt_cnt.filter(F.col("bucket").isNotNull()).select(
+        "bucket", F.col("_n").alias("_ct")
+    )
+    totals = raw_cnt.filter(F.col("bucket").isNull()).select(
+        F.col("_n").alias("_R")
+    ).crossJoin(
+        tgt_cnt.filter(F.col("bucket").isNull()).select(
+            F.col("_n").alias("_T")
+        )
     )
     # buckets needed for scoring are exactly cnt_r's keys (every scored
     # gram was counted), so the λ table is cnt_r ⟕ cnt_t — no dense
