@@ -603,8 +603,13 @@ def embedding_dedup(
     the vector-carrying spelling). ``max_bucket`` bounds per-bucket pair
     fan-out at ``max_bucket²/2``; at 24-bit band selectivity an over-full
     bucket means mass near-identical vectors — run exact dedup first,
-    the same contract as :func:`minhash_dedup`'s cap. No stage is
-    super-linear in corpus size.
+    the same contract as :func:`minhash_dedup`'s cap. The cap bounds but
+    does not eliminate the quadratic term: a corpus whose duplicates
+    cluster JUST UNDER the cap still emits up to ``n_buckets·cap²/2``
+    candidates (a 1M-vector probe with 500-wide exact-dup clusters under
+    the 512 cap OOM'd on ~10⁹ pairs — that input is the run-exact-dedup-
+    first case, not a near-dup workload). No stage is super-linear in
+    corpus size for corpora that honor that contract.
     """
     from ..kg.cc import connected_components
     from .similarity import _dot, cosine, rademacher_planes, rhp_signature_np
