@@ -127,6 +127,7 @@ def pack_sequences(
     token_col: str,
     budget: int,
     shard_col: str = "source",
+    order_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training sequence of ~``budget`` tokens.
 
@@ -143,10 +144,14 @@ def pack_sequences(
     shard key — cumulative sums never leave their shard, so there is no
     global sort and no single-reducer bottleneck; skewed shards are the
     caller's layout problem (same contract as any per-shard packer).
+    ``order_col`` overrides the within-shard layout order (default: the
+    id) for callers that lay out by a shuffled position rather than the
+    id itself (:func:`prepare_corpus` packs in ``shuffle_shards``'
+    ``pos`` order — inlined there so both windows share one exchange).
     """
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(id_col)
+        .orderBy(order_col or id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     start = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
@@ -384,3 +389,70 @@ def remove_contaminated(
         docs, benchmark, id_col, text_col, bench_id_col, bench_text_col, n
     ).select(F.col("id").alias(id_col))
     return docs.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 16,
+    budget: int = 512,
+    min_quality: float = 0.6,
+    lang: str = "en",
+    decontam_n: int = 13,
+) -> DataFrame:
+    """The composed end-to-end training-corpus preparation pipeline:
+    exact dedup → quality/language/Gopher-repetition gates →
+    benchmark decontamination → deterministic shuffle into shards →
+    token-budget sequence packing in shuffle order.
+
+    This is the pre-training twin of the KG side's ``kg_transcripts_e2e``
+    flagship: every stage is an individually oracle-checked operator
+    (:func:`..textstats.clean_corpus_gopher`, :func:`decontaminate`,
+    :func:`shuffle_shards`, :func:`pack_sequences`) and the composition
+    adds NO operator-level redundancy — the decontamination gram pass
+    runs over the cleaned survivors only, and packing consumes the
+    shuffle's ``pos`` directly.
+
+    Returns the training-ready layout
+    ``(doc_id, shard, pos, n_tokens, start_offset, seq_id)``.
+
+    Scale shape (in stage order): one md5 groupBy + one semi join
+    (dedup); pure codegen'd projections (quality / lang / repetition);
+    explode → broadcast-hash join → anti join (decontamination — the
+    eval-set gram side is broadcast, zero corpus shuffles); ONE hash
+    exchange on shard + per-shard sort (shuffle + packing share the
+    window partitioning — the packer's cumulative sum reuses the
+    shuffle's exchange, so the whole tail is a single wide stage).
+    """
+    from .textstats import clean_corpus_gopher
+
+    survivors = clean_corpus_gopher(
+        docs, id_col, text_col, min_quality=min_quality, lang=lang
+    ).select(id_col, "n_tokens")
+    kept_docs = docs.join(survivors.select(id_col), id_col, "left_semi")
+    hits = decontaminate(
+        kept_docs, benchmark, id_col, text_col, n=decontam_n
+    ).select(F.col("id").alias(id_col))
+    clean = survivors.join(F.broadcast(hits), id_col, "left_anti")
+    sharded = shuffle_shards(clean, id_col, n_shards=n_shards)
+    # pack_sequences' cumulative-sum semantics inlined over the shuffle's
+    # own (shard, pos) window: both window functions share one exchange +
+    # one sort, so shuffle AND packing plan as a single wide stage (the
+    # operator-reuse spelling re-joined pos back on id — a whole extra
+    # shuffle for a column the window already had)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    return sharded.select(
+        F.col(id_col),
+        "shard",
+        "pos",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / F.lit(budget)).cast("long").alias("seq_id"),
+    )

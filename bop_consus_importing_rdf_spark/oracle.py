@@ -1069,6 +1069,19 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target)
 
 
+def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training flagship: dedup → quality/lang/Gopher
+    gates → 13-gram decontamination (benchmark = the same doc_id % 90 ==
+    8 slice as `decontaminate`) → md5 shuffle into 16 shards → 512-token
+    sequence packing in shuffle order."""
+    from .operators.pretrain import prepare_corpus
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 90 == 8)
+    return prepare_corpus(docs, bench, n_shards=16, budget=512)
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # benchmark = a small deterministic slice of the corpus (doc_id % 90
     # == 8): realistic decontamination finds both the verbatim leaks (the
@@ -2052,6 +2065,42 @@ ORACLES: dict[str, str] = {
         "JOIN sizes nb ON nb.id = s.id_b "
         "WHERE cast(s.n_shared AS double) / least(na.n, nb.n) >= 0.5"
     ),
+    "prepare_corpus": (
+        # the composed chain, every stage the same SQL as its standalone
+        # oracle: corpus_clean_gopher gates → 13-gram decontamination
+        # anti-join → md5 shard + rank → cumulative-sum packing
+        _CORPUS_CLEAN_CTES + ", " + _REPETITION_CTES + ", "
+        "gopher AS (SELECT s.doc_id, s.n_tokens FROM s "
+        "  JOIN rep ON rep.doc_id = s.doc_id "
+        "  WHERE s.quality_score >= 0.6 AND s.lang_pred = 'en' "
+        "  AND rep.dup_token_frac <= 0.6 "
+        "  AND coalesce(rep.top_bigram_frac, 0.0) <= 0.05 "
+        "  AND coalesce(rep.top_trigram_frac, 0.0) <= 0.04), "
+        "dtok AS (SELECT doc_id AS id, "
+        "  string_split_regex(lower(text), '\\s+') AS w FROM documents), "
+        "dg AS (SELECT DISTINCT id, "
+        "  array_to_string(w[p13:p13+12], ' ') AS shingle "
+        "  FROM (SELECT id, w, "
+        "    unnest(range(1, greatest(len(w)-12, 1)+1)) AS p13 FROM dtok)), "
+        "dbg AS (SELECT DISTINCT shingle FROM dg WHERE id % 90 = 8), "
+        "hits AS (SELECT DISTINCT dg.id FROM dg JOIN dbg USING (shingle)), "
+        "clean AS (SELECT g2.doc_id, g2.n_tokens FROM gopher g2 "
+        "  WHERE NOT EXISTS "
+        "  (SELECT 1 FROM hits ht WHERE ht.id = g2.doc_id)), "
+        "sp AS (SELECT doc_id, n_tokens, "
+        "  ('0x' || substring(md5(cast(doc_id AS varchar)), 1, 8))::bigint "
+        "  % 16 AS shard FROM clean), "
+        "sh AS (SELECT doc_id, n_tokens, shard, "
+        "  cast(row_number() OVER (PARTITION BY shard "
+        "  ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS bigint) "
+        "  AS pos FROM sp), "
+        "pk AS (SELECT doc_id, shard, pos, n_tokens, "
+        "  cast(coalesce(sum(n_tokens) OVER (PARTITION BY shard "
+        "  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+        "  ), 0) AS bigint) AS start_offset FROM sh) "
+        "SELECT doc_id, shard, pos, n_tokens, start_offset, "
+        "cast(floor(start_offset / 512.0) AS bigint) AS seq_id FROM pk"
+    ),
     "shuffle_shards": (
         "SELECT doc_id, shard, cast(row_number() OVER ("
         "  PARTITION BY shard "
@@ -2484,6 +2533,7 @@ SPARK_QUERIES = {
     "decontaminate": q_decontaminate,
     "shuffle_shards": q_shuffle_shards,
     "dsir_weights": q_dsir_weights,
+    "prepare_corpus": q_prepare_corpus,
     "events_asof_join": q_events_asof_join,
     "repetition_stats": q_repetition_stats,
     "pii_redact": q_pii_redact,

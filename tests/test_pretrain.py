@@ -457,3 +457,81 @@ def test_dsir_weights_matches_python_reference(spark):
     assert got == expected
     # target members must outscore the out-of-distribution doc per gram
     assert got[1][1] / got[1][0] > got[3][1] / got[3][0]
+
+
+def test_prepare_corpus_composition_and_plan(spark):
+    from bop_consus_importing_rdf_spark.operators.pretrain import (
+        decontaminate,
+        prepare_corpus,
+    )
+    from bop_consus_importing_rdf_spark.operators.textstats import (
+        clean_corpus_gopher,
+    )
+
+    rows = []
+    for i in range(120):
+        # realistic-enough English so the quality/lang gates keep most
+        rows.append(
+            (i, f"the quick brown fox number {i} jumps over the lazy dog "
+                f"and then walks away from the river bank slowly", "en", "s")
+        )
+    rows.append((200, rows[0][1], "en", "s"))       # exact dup of doc 0
+    rows.append((201, "za zb zc " * 40, "en", "s"))  # repetition-gated
+    docs = _docs(spark, rows)
+    bench = docs.filter(F.col("doc_id") == 7)        # decontaminates itself
+    out = prepare_corpus(docs, bench, n_shards=4, budget=64)
+    got = out.collect()
+    ids = {r["doc_id"] for r in got}
+    # stage-wise recomposition: gopher survivors minus decontamination hits
+    surv = {
+        r["doc_id"]
+        for r in clean_corpus_gopher(docs).select("doc_id").collect()
+    }
+    hits = {
+        r["id"]
+        for r in decontaminate(
+            docs.join(
+                spark.createDataFrame(
+                    [(i,) for i in surv], "doc_id long"
+                ),
+                "doc_id",
+                "left_semi",
+            ),
+            bench,
+        ).collect()
+    }
+    assert ids == surv - hits
+    assert 200 not in ids and 201 not in ids and 7 not in ids
+    # training-layout invariants: pos dense per shard, start_offset is the
+    # prefix sum of n_tokens in pos order, seq_id = floor(start/budget)
+    by_shard: dict[int, list] = {}
+    for r in got:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r["pos"])
+        assert [r["pos"] for r in members] == list(
+            range(1, len(members) + 1)
+        )
+        run = 0
+        for r in members:
+            assert r["start_offset"] == run
+            assert r["seq_id"] == run // 64
+            run += r["n_tokens"]
+    # plan shape: the shuffle rank and the packing cumsum share ONE
+    # exchange — the composed tail (everything below the last
+    # hash-exchange) must contain BOTH window operators, i.e. packing
+    # added no exchange beyond shuffle_shards' own
+    from bop_consus_importing_rdf_spark.operators.pretrain import (
+        shuffle_shards,
+    )
+
+    base_plan = (
+        shuffle_shards(docs, "doc_id", 4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert base_plan.count("Exchange hashpartitioning") == 1
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    last_stage = plan.split("Exchange hashpartitioning")[0]
+    assert last_stage.count("Window") >= 2
