@@ -111,6 +111,16 @@ COMMENTARY = {
         "skew bounded by shard size, the same contract as any per-shard "
         "packer."
     ),
+    "prepare_corpus": (
+        "The composed pre-training flagship: the exchanges are exactly "
+        "the union of its stages' — dedup md5 groupBy + semi join, the "
+        "decontamination gram groupBy (eval-set side broadcast), and ONE "
+        "exchange for the shuffle/pack tail (rank + cumsum share the "
+        "(shard, pos) window partitioning). The gate subtree is "
+        "checkpointed as a bare (id, n_tokens) set: three consumers, "
+        "re-evaluation measured 106.6s vs 79.8s at 1M docs (13k docs/s "
+        "end-to-end, fresh JVM, local[32])."
+    ),
     "shuffle_shards": (
         "Deterministic corpus shuffle: ONE exchange (hash on the md5 "
         "shard) + a per-shard sort for the rank window — the theoretical "
