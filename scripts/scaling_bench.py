@@ -331,6 +331,41 @@ ROUND5_MD = """
     emits 45/doc), and digit-only token spellings are NOT high-entropy
     at the char level (10-char alphabet → hot grams → pair blowup;
     base36 fixed it).
+  - `shuffle_shards` at 1M docs (200 key-shifted sf0.1 copies, fresh
+    JVM, local[32]): **3.5s (286k docs/s)**, plan = exactly ONE
+    exchange (hash on shard) + per-shard sort — the theoretical floor
+    for a global shuffle; 1024 shards, md5-balanced.
+  - `dsir_weights` at 1M docs, same corpus, target = 1/97 slice:
+    first cut 409.7s — the narrow probe input ran the gram explode on
+    one core AND the count/totals/score consumers re-evaluated the
+    explode subtree three times. Fixed: fan-out guard in
+    `_hashed_grams` + per-bucket counts and grand totals folded into
+    ONE map-side-combinable `rollup` whose (B+1)-row result is
+    checkpointed — the corpus is now read exactly twice (DSIR's floor):
+    **24.9s (40k docs/s, ~240M gram instances through two passes)**,
+    zero Arrow stages, λ table broadcast. Oracle stays byte-green
+    (the rollup is count-identical to the groupBy spelling).
+  - `embedding_dedup` at 1M vectors (500 direction-shifted sf0.1
+    embedding copies + one 1e-3-jitter copy planting 2000 near-dup
+    pairs; the base corpus's own near-dup clusters replicate per copy,
+    so the edge mass is heavy): **353.6s end-to-end, 295,713 members
+    merged into clusters, no spill** — the spelling this replaces
+    spilled >60 GB and never finished at this scale (pair shuffle
+    carried 2×64 floats per candidate). Two lessons recorded: (a) the
+    numpy signature stage is 4.5s of the wall — candidate pairing +
+    cosine + connected components own the rest, all shuffling bare ids;
+    (b) a FIRST probe with 500-wide exact-dup clusters sitting just
+    under the max_bucket=512 cap OOM'd on ~10⁹ admitted pairs — the cap
+    bounds the quadratic term but mass duplication below it remains the
+    documented run-exact-dedup-first input (docstring updated).
+  - `prepare_corpus` (the composed pre-training flagship: dedup →
+    quality/lang/Gopher gates → 13-gram decontamination → md5 shuffle
+    into 1024 shards → 2048-token packing) at 1M docs: first cut 106.6s
+    — the gate subtree (incl. its Arrow repetition stage) re-evaluated
+    for each of its three consumers; survivors (id, n_tokens)
+    checkpointed → **79.8s (13k docs/s end-to-end)**. The tail (shuffle
+    rank + packing cumsum) shares ONE exchange — pinned by
+    test_prepare_corpus_composition_and_plan.
 """
 
 
