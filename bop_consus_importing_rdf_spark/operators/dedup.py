@@ -106,6 +106,80 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# line-level exact dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delim: str = "\n",
+) -> DataFrame:
+    """Corpus-global line/paragraph-level exact dedup, keep-first.
+
+    The CCNet pre-deduplication step (Wenzek et al., *CCNet: Extracting
+    High Quality Monolingual Datasets from Web Crawl Data*, LREC 2020,
+    §4.2 "Deduplication"): split every document into lines/paragraphs on
+    ``delim``, hash each line, and keep only the FIRST occurrence of each
+    distinct line across the whole corpus — boilerplate (nav bars, cookie
+    banners, license footers) repeats across pages, so dropping repeated
+    lines removes it without a trained model. Documents are then
+    re-assembled from their surviving lines in original order.
+
+    Keep-first is defined on ``(id, pos)``: the instance with the
+    lexicographically smallest (document id, line position) survives.
+    CCNet normalizes lines (lowercase, digits→0) before hashing; pass a
+    pre-normalized column if that behavior is wanted — the operator
+    hashes the line verbatim so the surviving text is exactly the input
+    text.
+
+    Returns one row per document that keeps ≥1 line:
+    ``(id, text, n_lines, n_kept)`` — original line count vs survivors.
+    Documents whose every line was seen earlier vanish from the output
+    (CCNet drops them); ``n_kept < n_lines`` marks partially-stripped
+    docs.
+
+    Scale shape (the 100 TB property this buys): exactly TWO exchanges
+    and the corpus is read ONCE. The keep-first winner per line is a
+    ``groupBy(md5(line)).agg(min(struct(id, pos, line, n_lines)))`` —
+    a map-side-combinable partial aggregation, so a line duplicated
+    10⁹ times (the empty-footer pathology) collapses to one row per map
+    task BEFORE the shuffle; no join back against the line stream, no
+    skewed window. The second exchange is the per-document re-assembly
+    groupBy. Reference scope: the reference dedups whole catalogue
+    records only (duplicate-id warnings, Flows.kt:106-112); line-grain
+    dedup is the LLM-pipeline extension surface (SURVEY §2.8).
+    """
+    from .parallelism import ensure_min_parallelism
+
+    # the explode fans each doc into ~n_lines rows; modest vs shingling
+    df = ensure_min_parallelism(df, multiplier=8)
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), delim)).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
+    )
+    # min(struct) — (id, pos) is unique, so the trailing fields never
+    # tie-break; they just ride along to avoid a join back to the stream
+    kept = (
+        lines.groupBy(F.md5(F.col("line")).alias("_h"))
+        .agg(F.min(F.struct("id", "pos", "line", "n_lines")).alias("_k"))
+        .select("_k.id", "_k.pos", "_k.line", "_k.n_lines")
+    )
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            delim,
+        ).alias("text"),
+        F.max("n_lines").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

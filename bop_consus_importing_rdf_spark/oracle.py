@@ -861,6 +861,28 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "doc_id", "text").select("id", "rep_id")
 
 
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The fixture corpus is single-line word salad, so the query first
+    # chunks each document into 3-word "lines" (newline after every 3rd
+    # word) — the same regexp_replace in both engines — then runs the
+    # CCNet-style corpus-global keep-first line dedup on the result.
+    # 3-word lines over the ~30-word fixture vocabulary collide heavily
+    # across documents, so the dedup actually exercises its keep-first
+    # and reassembly paths (8-word lines would be a no-op).
+    from .operators.dedup import line_dedup
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            F.col("text"), r"((\S+ ){2}\S+) ", "$1\n"
+        ).alias("text"),
+    )
+    return line_dedup(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "text", "n_lines", "n_kept"
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word 3-grams, not char shingles: the documents corpus is word-salad
     # over a tiny vocabulary, so char-5 shingle sets are near-identical
@@ -1963,6 +1985,26 @@ ORACLES: dict[str, str] = {
         "reps AS (SELECT m, min(id) AS rep_id FROM h GROUP BY m) "
         "SELECT h.id, r.rep_id FROM h JOIN reps r ON r.m = h.m"
     ),
+    "line_dedup_docs": (
+        # same 3-word chunking as the Spark side, then keep-first per
+        # distinct line across the corpus (first = min (doc_id, pos)),
+        # reassemble surviving lines per document in original order
+        "WITH chunked AS (SELECT doc_id, regexp_replace(text, "
+        r"'((\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t FROM documents), "
+        "ls AS (SELECT doc_id, l, "
+        "  unnest(range(1, len(l)+1)) AS pos "
+        "  FROM (SELECT doc_id, string_split(t, chr(10)) AS l "
+        "        FROM chunked)), "
+        "lines AS (SELECT doc_id, pos, l[pos] AS line, len(l) AS n_lines "
+        "  FROM ls), "
+        "kept AS (SELECT doc_id, pos, line, n_lines, "
+        "  row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) "
+        "  AS rn FROM lines) "
+        "SELECT doc_id, "
+        "  string_agg(line, chr(10) ORDER BY pos) AS text, "
+        "  max(n_lines) AS n_lines, count(*) AS n_kept "
+        "FROM kept WHERE rn = 1 GROUP BY doc_id"
+    ),
     "minhash_signatures": _SHINGLES_CTE + _SIG_SELECT,
     "minhash_lsh_pairs": (
         _SHINGLES_CTE
@@ -2521,6 +2563,7 @@ SPARK_QUERIES = {
     "doc_entity_links": q_doc_entity_links,
     "doc_kg_triples": q_doc_kg_triples,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "line_dedup_docs": q_line_dedup_docs,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "token_counts": q_token_counts,

@@ -192,3 +192,45 @@ def test_containment_matches_set_reference(spark):
         assert got == want
 
     check()
+
+
+def test_line_dedup_keep_first_and_reassembly(spark):
+    from bop_consus_importing_rdf_spark.operators.dedup import line_dedup
+
+    rows = [
+        # doc 1: "boiler" repeats inside the doc too — the SECOND internal
+        # occurrence must also be dropped (keep-first is corpus-global,
+        # (id, pos)-ordered)
+        (1, "boiler\nalpha\nboiler\nbeta"),
+        # doc 2: all lines already seen in doc 1 → fully dropped
+        (2, "boiler\nalpha"),
+        # doc 3: one seen line + one fresh line → partially stripped,
+        # surviving lines keep original order
+        (3, "gamma\nboiler\ndelta"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r["id"]: r
+        for r in line_dedup(df, "id", "text").collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["text"] == "boiler\nalpha\nbeta"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (4, 3)
+    assert out[3]["text"] == "gamma\ndelta"
+    assert (out[3]["n_lines"], out[3]["n_kept"]) == (3, 2)
+
+
+def test_line_dedup_single_line_docs_equal_exact_dedup_keepers(spark):
+    # with one line per doc, line_dedup's survivors == exact_dedup's
+    # representatives (same keep-min-id semantics)
+    from bop_consus_importing_rdf_spark.operators.dedup import line_dedup
+
+    docs = _docs(spark)
+    survivors = {
+        r["id"] for r in line_dedup(docs, "id", "text").collect()
+    }
+    reps = {
+        r["rep_id"]
+        for r in exact_dedup(docs, "id", "text").select("rep_id").collect()
+    }
+    assert survivors == reps
