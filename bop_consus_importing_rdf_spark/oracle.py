@@ -861,6 +861,60 @@ def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "doc_id", "text").select("id", "rep_id")
 
 
+#: graded PageRank configuration — shared by the Spark query and the
+#: unrolled-CTE oracle so the two recurrences are structurally identical
+_PAGERANK_ITERS = 5
+_PAGERANK_SCALE = 10**9
+
+
+def _pagerank_oracle_sql(
+    iters: int = _PAGERANK_ITERS, scale: int = _PAGERANK_SCALE
+) -> str:
+    """The pagerank() recurrence unrolled as chained CTEs (DuckDB's
+    recursive CTEs disallow grouping over the recursive relation, so a
+    fixed-iteration unroll is the portable spelling). Integer-only, same
+    as the Spark side: ``//`` on positive BIGINTs == Spark's ``div``."""
+    teleport_q = 15 * scale // 100
+    steps = ", ".join(
+        f"r{i} AS (SELECT n.node, "
+        f"CAST({teleport_q} + (85 * coalesce(s.m, 0)) // 100 AS BIGINT) "
+        "AS rank_q "
+        "FROM nodes n LEFT JOIN ("
+        "SELECT e.dst AS node, sum(r.rank_q // o.deg) AS m "
+        f"FROM edges e JOIN r{i - 1} r ON r.node = e.src "
+        "JOIN outdeg o ON o.src = e.src GROUP BY e.dst) s "
+        "ON s.node = n.node)"
+        for i in range(1, iters + 1)
+    )
+    return (
+        f"WITH graph AS ({RDF_GRAPH_SQL}), "
+        "edges AS (SELECT DISTINCT subj AS src, obj_value AS dst "
+        "FROM graph WHERE obj_kind = 'iri'), "
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src), "
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges), "
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_q "
+        "FROM nodes), "
+        + steps
+        + f" SELECT node, rank_q FROM r{iters}"
+    )
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity salience over the fixture RDF graph: directed simple edges
+    # subj → obj for every IRI-valued statement (literals are not nodes;
+    # bnode objects stay local names, same strings both engines)
+    from .kg.pagerank import pagerank
+
+    g = _graph(spark, sf_dir)
+    edges = (
+        g.filter(F.col("obj_kind") == "iri")
+        .select(F.col("subj").alias("src"), F.col("obj_value").alias("dst"))
+        .distinct()
+    )
+    return pagerank(edges, iters=_PAGERANK_ITERS, scale=_PAGERANK_SCALE)
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture corpus is single-line word salad, so the query first
     # chunks each document into 3-word "lines" (newline after every 3rd
@@ -2563,6 +2617,7 @@ SPARK_QUERIES = {
     "doc_entity_links": q_doc_entity_links,
     "doc_kg_triples": q_doc_kg_triples,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "graph_pagerank": q_graph_pagerank,
     "line_dedup_docs": q_line_dedup_docs,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -2602,3 +2657,4 @@ SPARK_QUERIES = {
 }
 
 ORACLES["kg_transcripts_e2e"] = _e2e_oracle_sql()
+ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
