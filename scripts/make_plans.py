@@ -137,6 +137,25 @@ COMMENTARY = {
         "BIGINT per doc. 24.9s / 40k docs/s at 1M docs (~240M gram "
         "instances); the naive three-evaluation spelling measured 409.7s."
     ),
+    "line_dedup_docs": (
+        "CCNet line-level dedup: TWO exchanges total, corpus read once — "
+        "the keep-first winner per distinct line is a min-struct groupBy "
+        "whose partial aggregation collapses hot boilerplate lines in the "
+        "map-side combiners (no join back to the line stream, no skewed "
+        "window), then one per-document reassembly groupBy. 12.4s at 1M "
+        "docs / 16.2M lines (fresh JVM, local[32]), 67% of lines deduped."
+    ),
+    "graph_pagerank": (
+        "Integer-quantized PageRank, 5 iterations: each iteration is the "
+        "MapReduce floor — one join of the checkpointed (src, dst, deg) "
+        "adjacency against the rank table plus one map-side-combinable "
+        "sum on dst; per-iteration localCheckpoint truncates lineage, so "
+        "the counts below cover the final consumer plan over the last "
+        "checkpointed iteration. All arithmetic is BIGINT (rank div "
+        "outdeg, integer 85/100 damping): bit-exact vs the unrolled-CTE "
+        "oracle regardless of aggregation order. 12.8s at the sf1 graph "
+        "(1.88M edges, 1.67M nodes, fresh JVM, local[32])."
+    ),
 }
 
 
