@@ -805,6 +805,41 @@ def q_canonical_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rendered.groupBy("dataset_id").agg(canonical_hash_agg("nt"))
 
 
+def q_harvest_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two deterministic harvest snapshots derived from ONE split (both
+    # engines build them identically from final_triples): md5 bucket
+    # b∈[0,20) of the dataset id — b=0 datasets are absent from OLD
+    # (→ added), b=1 absent from NEW (→ removed), b=2 lose their literal
+    # statements in NEW (→ changed, or removed for all-literal datasets);
+    # everything else is unchanged.
+    from .functions.hashing import canonical_hash_agg
+    from .operators.diff import harvest_diff
+    from .operators.pretrain import md5_bucket
+
+    ds_triples, _ = _split(spark, sf_dir)
+    rendered = ds_triples.withColumn(
+        "nt",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ),
+    ).withColumn("_b", md5_bucket(F.col("dataset_id"), 20))
+    old = (
+        rendered.filter(F.col("_b") != 0)
+        .groupBy("dataset_id")
+        .agg(canonical_hash_agg("nt"))
+    )
+    new = (
+        rendered.filter(
+            (F.col("_b") != 1)
+            & ~((F.col("_b") == 2) & (F.col("obj_kind") == "literal"))
+        )
+        .groupBy("dataset_id")
+        .agg(canonical_hash_agg("nt"))
+    )
+    return harvest_diff(old, new)
+
+
 def q_doc_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kg.mentions import detect_mentions
     from .sources.catalog import load_table
@@ -2004,6 +2039,24 @@ ORACLES: dict[str, str] = {
         "regexp_extract(n.next_raw, '(\\?.*)$', 1) AS next_page "
         "FROM nx n LEFT JOIN addr a ON a.doc_id = n.doc_id"
     ),
+    "harvest_diff": _oracle_split_suffix(
+        f", nt AS (SELECT dataset_id, {sql_nt_line()} AS nt, obj_kind, "
+        "  cast(('0x' || substring(md5(cast(dataset_id AS varchar)), 1, 8))"
+        "::bigint % 20 AS int) AS b FROM final_triples), "
+        "old AS (SELECT dataset_id, "
+        "  sha256(string_agg(nt, chr(10) ORDER BY nt)) AS old_hash "
+        "  FROM nt WHERE b != 0 GROUP BY dataset_id), "
+        "new AS (SELECT dataset_id, "
+        "  sha256(string_agg(nt, chr(10) ORDER BY nt)) AS new_hash "
+        "  FROM nt WHERE b != 1 AND NOT (b = 2 AND obj_kind = 'literal') "
+        "  GROUP BY dataset_id) "
+        "SELECT coalesce(o.dataset_id, n.dataset_id) AS dataset_id, "
+        "CASE WHEN o.old_hash IS NULL THEN 'added' "
+        "WHEN n.new_hash IS NULL THEN 'removed' "
+        "WHEN o.old_hash != n.new_hash THEN 'changed' "
+        "ELSE 'unchanged' END AS status, o.old_hash, n.new_hash "
+        "FROM old o FULL OUTER JOIN new n ON n.dataset_id = o.dataset_id"
+    ),
     "canonical_hash": _oracle_split_suffix(
         f"SELECT dataset_id, sha256(string_agg({sql_nt_line()}, chr(10) "
         f"ORDER BY {sql_nt_line()})) AS content_hash "
@@ -2613,6 +2666,7 @@ SPARK_QUERIES = {
     "hydra_totals": q_hydra_totals,
     "hydra_next_pages": q_hydra_next_pages,
     "canonical_hash": q_canonical_hash,
+    "harvest_diff": q_harvest_diff,
     "doc_mentions": q_doc_mentions,
     "doc_entity_links": q_doc_entity_links,
     "doc_kg_triples": q_doc_kg_triples,
