@@ -60,3 +60,74 @@ def stream_exact_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_line_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    delim: str = "\n",
+    available_now: bool = True,
+):
+    """Streaming twin of :func:`..operators.dedup.line_dedup` (CCNet-style
+    corpus-global line dedup over an unbounded document stream).
+
+    Each arriving document is split into lines; the stateful
+    ``dropDuplicates`` on ``md5(line)`` keeps only the FIRST-ARRIVING
+    instance of every distinct line across all micro-batches (state =
+    one entry per distinct line ever seen, checkpointed — a restarted
+    job keeps rejecting lines it saw before the restart). Surviving
+    documents are re-assembled from their surviving lines in original
+    order and appended to ``output_dir/data`` as
+    ``(doc_id, text, n_lines, n_kept)``.
+
+    Re-assembly runs inside ``foreachBatch``: a document arrives as ONE
+    stream row, so all of its exploded lines live in the same
+    micro-batch and the per-doc groupBy is batch-local — no streaming
+    aggregation state, no watermark needed. Same semantics difference
+    from the batch operator as :func:`stream_exact_dedup`, on purpose:
+    batch keep-first is the global (id, pos) minimum; a stream keeps the
+    first ARRIVAL. On any prefix processed as one batch the surviving
+    LINE SET is identical; which document keeps a shared line may
+    differ.
+    """
+    lines = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .parquet(input_dir)
+        .select(
+            "doc_id",
+            F.size(F.split(F.col("text"), delim)).alias("n_lines"),
+            F.posexplode(F.split(F.col("text"), delim)).alias("pos", "line"),
+        )
+        .withColumn("line_md5", F.md5(F.col("line")))
+        .dropDuplicates(["line_md5"])
+    )
+
+    def _reassemble(batch_df, _batch_id):
+        (
+            batch_df.groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "line"))
+                        ),
+                        lambda s: s["line"],
+                    ),
+                    delim,
+                ).alias("text"),
+                F.max("n_lines").alias("n_lines"),
+                F.count(F.lit(1)).alias("n_kept"),
+            )
+            .write.mode("append")
+            .parquet(f"{output_dir}/data")
+        )
+
+    writer = (
+        lines.writeStream.foreachBatch(_reassemble)
+        .option("checkpointLocation", f"{output_dir}/_checkpoint")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -45,3 +45,48 @@ def test_stream_dedup_across_batches_and_restarts(spark, tmp_path):
         .collect()
     }
     assert {r.content_md5 for r in final.collect()} == batch_hashes
+
+
+def test_stream_line_dedup_across_batches_and_restarts(spark, tmp_path):
+    from bop_consus_importing_rdf_spark.operators.dedup import line_dedup
+    from bop_consus_importing_rdf_spark.streaming.dedup import (
+        stream_line_dedup,
+    )
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+
+    # file 1: "boiler" repeats within doc 1 and across docs 1/2
+    _write_docs(
+        spark, in_dir,
+        [(1, "boiler\nalpha\nboiler\nbeta"), (2, "boiler\ngamma")],
+    )
+    q = stream_line_dedup(spark, in_dir, out_dir)
+    q.awaitTermination(120)
+    first = {r.doc_id: r for r in spark.read.parquet(f"{out_dir}/data").collect()}
+    assert first[1].text == "boiler\nalpha\nbeta"
+    assert (first[1].n_lines, first[1].n_kept) == (4, 3)
+    assert first[2].text == "gamma"
+
+    # file 2 after a restart: every line of doc 3 was seen before the
+    # restart (recovered state must reject it entirely); doc 4 is partly
+    # fresh
+    _write_docs(spark, in_dir, [(3, "alpha\ngamma"), (4, "beta\ndelta")])
+    q2 = stream_line_dedup(spark, in_dir, out_dir)
+    q2.awaitTermination(120)
+    final = {r.doc_id: r for r in spark.read.parquet(f"{out_dir}/data").collect()}
+    assert set(final) == {1, 2, 4}
+    assert final[4].text == "delta"
+    assert (final[4].n_lines, final[4].n_kept) == (2, 1)
+
+    # parity with the batch operator on the surviving LINE SET (which doc
+    # keeps a shared line may differ: batch = min (id, pos), stream =
+    # first arrival)
+    batch = line_dedup(spark.read.parquet(in_dir), "doc_id", "text")
+    batch_lines = set()
+    for r in batch.collect():
+        batch_lines.update(r.text.split("\n"))
+    stream_lines = set()
+    for r in final.values():
+        stream_lines.update(r.text.split("\n"))
+    assert stream_lines == batch_lines
