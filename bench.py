@@ -102,6 +102,10 @@ def orchestrate(args) -> None:
     out = dict(results[0])
     out["queries"] = mins
     out["value"] = round(sum(mins.values()), 3)
+    extra_names = list(results[0].get("extras", {}))
+    out["extras"] = {
+        q: min(r["extras"][q] for r in results) for q in extra_names
+    }
     out["queries_median"] = {q: median(samples[q]) for q in names}
     out["queries_samples"] = samples
     out["passes"] = args.passes
@@ -218,9 +222,21 @@ def run_pass(args) -> None:
             )
         ),
     }
+    # tracked-but-not-in-total extras: the composed pre-training flagship.
+    # Reported under "extras" (aggregated like queries across passes) so
+    # the per-round record tracks it WITHOUT changing what the headline
+    # total has meant since round 1.
+    extras_queries = {
+        "prepare_corpus": lambda: materialize(
+            SPARK_QUERIES["prepare_corpus"](spark, sf_dir)
+        ),
+    }
     if args.only:
         keep = set(args.only.split(","))
         headline = {k: v for k, v in headline.items() if k in keep}
+        extras_queries = {
+            k: v for k, v in extras_queries.items() if k in keep
+        }
 
     timings: dict[str, float] = {}
     for name, fn in headline.items():
@@ -228,8 +244,15 @@ def run_pass(args) -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    extras: dict[str, float] = {}
+    for name, fn in extras_queries.items():
+        t0 = time.perf_counter()
+        fn()
+        extras[name] = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     result = {
+        "extras": extras,
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
