@@ -430,3 +430,77 @@ def clean_corpus_gopher(
         "top_bigram_frac",
         "top_trigram_frac",
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Per-document top-k keywords by TF-IDF (Spärck Jones 1972 idf form
+    ``ln(N/df)`` — the classic keyword-extraction/relevance signal a
+    corpus-analysis pipeline runs to profile domains and build indexes).
+
+    Returns ``(id, rk, term, tf, score_q)`` — the ``k`` highest-scoring
+    terms per document, ``rk`` 1-based, ties broken by term ASC so the
+    result is total-order deterministic. ``score_q = tf ·
+    floor(scale · ln(N/df))`` keeps the ranking integer-exact across
+    engines: the double ``ln`` is evaluated once per distinct term from
+    identical inputs in both engines (the dsir_weights discipline), and
+    everything after it is BIGINT arithmetic. Terms appearing in every
+    document get ``ln(N/N) = 0`` — rank floor, as idf intends.
+
+    Scale shape: one ``(id, term)`` count (map-side combinable), one
+    ``term`` document-frequency count over the distinct-by-construction
+    tf table (also combinable — hot terms collapse before the shuffle),
+    the single-row corpus count broadcast via crossJoin, the df table
+    joined back on ``term``, and a per-document window for the top-k
+    (partitioned by doc — no global sort). The df table is O(vocabulary);
+    at web scale it broadcasts or bucket-joins, never the corpus.
+    """
+    from .parallelism import ensure_min_parallelism
+
+    base = ensure_min_parallelism(df, multiplier=30)
+    toks = base.select(
+        F.col(id_col).alias("id"),
+        F.explode(_lower_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    n_docs = toks.select("id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "id",
+            "term",
+            "tf",
+            (
+                F.col("tf")
+                * F.floor(
+                    F.lit(scale)
+                    * F.log(
+                        F.col("_n").cast("double") / F.col("_df").cast("double")
+                    )
+                ).cast("long")
+            ).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score_q").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("id", F.col("rk").cast("long").alias("rk"), "term", "tf", "score_q")
+    )

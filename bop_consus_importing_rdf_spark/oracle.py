@@ -972,6 +972,14 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import tfidf_topk
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, "doc_id", "text", k=5)
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word 3-grams, not char shingles: the documents corpus is word-salad
     # over a tiny vocabulary, so char-5 shingle sets are near-identical
@@ -2112,6 +2120,26 @@ ORACLES: dict[str, str] = {
         "  max(n_lines) AS n_lines, count(*) AS n_kept "
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
+    "tfidf_keywords": (
+        # same integer-quantized idf: the double ln is the one shared
+        # evaluation, everything after it is BIGINT (dsir discipline)
+        "WITH toks AS (SELECT doc_id AS id, "
+        "  unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term "
+        "  FROM documents WHERE trim(text) != ''), "
+        "tf AS (SELECT id, term, cast(count(*) AS bigint) AS tf "
+        "  FROM toks GROUP BY id, term), "
+        "dfr AS (SELECT term, cast(count(*) AS bigint) AS dfc "
+        "  FROM tf GROUP BY term), "
+        "n AS (SELECT cast(count(DISTINCT id) AS bigint) AS n FROM toks), "
+        "scored AS (SELECT t.id, t.term, t.tf, t.tf * "
+        "  cast(floor(1000000 * ln(cast(n.n AS double) / "
+        "  cast(d.dfc AS double))) AS bigint) AS score_q "
+        "  FROM tf t JOIN dfr d USING(term) CROSS JOIN n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY id "
+        "  ORDER BY score_q DESC, term ASC) AS rk FROM scored) "
+        "SELECT id, cast(rk AS bigint) AS rk, term, tf, score_q "
+        "FROM r WHERE rk <= 5"
+    ),
     "minhash_signatures": _SHINGLES_CTE + _SIG_SELECT,
     "minhash_lsh_pairs": (
         _SHINGLES_CTE
@@ -2673,6 +2701,7 @@ SPARK_QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "graph_pagerank": q_graph_pagerank,
     "line_dedup_docs": q_line_dedup_docs,
+    "tfidf_keywords": q_tfidf_keywords,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "token_counts": q_token_counts,
