@@ -473,7 +473,10 @@ def tfidf_topk(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
-    n_docs = toks.select("id").distinct().agg(
+    # corpus size = docs contributing >=1 token == docs with non-blank
+    # text (the _lower_tokens [] condition) — a column-pruned count scan,
+    # NOT a second evaluation of the token explode
+    n_docs = base.filter(F.trim(F.col(text_col)) != "").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
     from pyspark.sql import Window

@@ -156,6 +156,26 @@ COMMENTARY = {
         "oracle regardless of aggregation order. 12.8s at the sf1 graph "
         "(1.88M edges, 1.67M nodes, fresh JVM, local[32])."
     ),
+    "tfidf_keywords": (
+        "Per-document TF-IDF top-k: two map-side-combinable counts — the "
+        "(id, term) tf table, then vocabulary document frequency over it "
+        "(hot terms collapse in the combiners) — the single-row corpus "
+        "count broadcast, the O(vocabulary) df table joined back on term, "
+        "and a per-document window for the top-k (partitioned by doc, no "
+        "global sort). Ranking is integer-exact: tf · floor(scale·ln(N/df)) "
+        "— the double ln is the one shared evaluation, everything after "
+        "is BIGINT."
+    ),
+    "harvest_diff": (
+        "Incremental-harvest change detection: the canonical-hash "
+        "snapshots are O(datasets)-row two-column tables regardless of "
+        "triple volume, and the classification is ONE full-outer join on "
+        "the dataset id (off the bucketed landing layout both sides "
+        "co-locate and the join plans exchange-free). The exchanges below "
+        "are dominated by BUILDING the two snapshots from the split "
+        "fixture — in production each harvest already persists its hash "
+        "table and the diff reads two tiny artifacts."
+    ),
 }
 
 
