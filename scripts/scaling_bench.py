@@ -377,6 +377,12 @@ ROUND5_MD = """
     iteration after setup; 2 shuffles per iteration — the MapReduce
     PageRank floor). Integer-exact vs the unrolled-CTE DuckDB oracle at
     sf0.01 (16,705 nodes).
+  - `tfidf_topk` at 1M docs (k=5, ~30M token instances): **25.1s
+    (40k docs/s)** — the (id, term) tf count and the vocabulary df
+    count both map-side-combine; corpus size N comes from a pruned
+    count scan of non-blank docs, not a distinct over the exploded
+    token stream (that spelling re-evaluated the explode and added an
+    exchange).
 """
 
 
