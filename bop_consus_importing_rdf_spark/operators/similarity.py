@@ -532,3 +532,73 @@ def rhp_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    centroids: list[tuple[int, list[int]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus clustering: nearest-centroid assignment of EVERY vector —
+    the IVF coarse quantizer exposed as a standalone operator.
+
+    This is the clustering stage real embedding pipelines run on its own:
+    SemDeDup clusters the corpus before per-cluster near-dup search
+    (Abbas et al. 2023 §3 — ``embedding_dedup``'s published shape),
+    cluster-balanced sampling draws per-cell quotas, and domain discovery
+    reads the cell histogram. Returns ``(vec_id, cell, l2sq_q)`` — the
+    assigned cell and the integer quantized squared L2 to its centroid
+    (the within-cluster tightness signal).
+
+    Same integer-exact arithmetic and default sampled centroids as
+    :func:`ivf_topk` (floor(x·1000) quantization, L2² argmin, ties →
+    lowest cell id; pass :func:`train_ivf_centroids` output for a
+    Lloyd-refined quantizer — identical plan). Scale shape: the
+    centroids fold into ONE literal argmin projection — zero shuffles,
+    no corpus×centroid exchange; the whole operator pipelines into the
+    vector scan.
+    """
+    from .parallelism import ensure_min_parallelism
+
+    vectors = ensure_min_parallelism(vectors, multiplier=n_cells)
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), _quant(vec_col).alias("_v")
+    )
+    if centroids is not None:
+        cent_pairs = list(centroids)
+    else:
+        # O(n_cells) dimension read, same deterministic sampling as ivf_topk
+        cent_rows = v.orderBy("vec_id").limit(n_cells).collect()
+        cent_pairs = [(r.vec_id, [int(c) for c in r._v]) for r in cent_rows]
+    if not cent_pairs:
+        return v.select(
+            "vec_id",
+            F.col("vec_id").alias("cell"),
+            F.lit(None).cast("long").alias("l2sq_q"),
+        ).filter(F.lit(False))
+    cents_lit = F.array(
+        *[
+            F.array(*[F.lit(int(c)).cast("long") for c in cent])
+            for _, cent in cent_pairs
+        ]
+    )
+    cell_ids_lit = F.array(*[F.lit(cid) for cid, _ in cent_pairs])
+    # distance array and its min are projected into NAMED columns before
+    # reuse (HOFs evaluate interpreted with no common-subexpression
+    # sharing — the measured O(n²) trap, see _assign_cells)
+    return (
+        v.withColumn(
+            "_d", F.transform(cents_lit, lambda c: _l2sq(F.col("_v"), c))
+        )
+        .withColumn("_m", F.array_min("_d"))
+        .select(
+            "vec_id",
+            F.element_at(
+                cell_ids_lit,
+                F.array_position(F.col("_d"), F.col("_m")).cast("int"),
+            ).alias("cell"),
+            F.col("_m").cast("long").alias("l2sq_q"),
+        )
+    )

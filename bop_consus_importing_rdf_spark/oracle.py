@@ -1485,6 +1485,17 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus clustering over the embedding table (sampled 16-cell coarse
+    quantizer — the oracle-exact path; Lloyd-trained centroids swap in
+    with an identical plan, recall-gated in test_similarity)."""
+    from .operators.similarity import kmeans_assign
+    from .sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_assign(emb, n_cells=16)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode plumbing, fully oracle-checked.
 
@@ -2526,6 +2537,23 @@ ORACLES: dict[str, str] = {
         'SELECT query_id, vec_id, cosine_sim, cast(rnk AS bigint) AS "rank" '
         "FROM r WHERE rnk <= 10"
     ),
+    "embedding_clusters": (
+        # same integer L2² argmin as ivf_topk's assign CTE, dist kept
+        "WITH v AS (SELECT vec_id, list_transform(embedding, x -> "
+        "  cast(floor(cast(x AS double)*1000) AS bigint)) AS qv "
+        "  FROM embeddings), "
+        "cents AS (SELECT vec_id AS cell, qv AS cv FROM v "
+        "  ORDER BY vec_id LIMIT 16), "
+        "d AS (SELECT a.vec_id, c.cell, "
+        "  list_dot_product(a.qv, a.qv) - 2*list_dot_product(a.qv, c.cv) "
+        "  + list_dot_product(c.cv, c.cv) AS dist "
+        "  FROM v a CROSS JOIN cents c), "
+        "r AS (SELECT vec_id, cell, dist, row_number() OVER ("
+        "  PARTITION BY vec_id ORDER BY dist ASC, cell ASC) AS rk "
+        "  FROM d) "
+        "SELECT vec_id, cell, cast(dist AS bigint) AS l2sq_q "
+        "FROM r WHERE rk = 1"
+    ),
     "ivf_topk": (
         # integer L2² distances: values ≤ (2000)²·64 ≈ 2.6e8 — exact in the
         # doubles list_dot_product returns, so argmin ties break identically
@@ -2732,6 +2760,7 @@ SPARK_QUERIES = {
     "entity_canonical_map": q_entity_canonical_map,
     "embedding_dedup_vecs": q_embedding_dedup_vecs,
     "ann_rhp_topk": q_ann_rhp_topk,
+    "embedding_clusters": q_embedding_clusters,
     "ivf_topk": q_ivf_topk,
     "events_stable_order": q_events_stable_order,
     "events_sessionize": q_events_sessionize,

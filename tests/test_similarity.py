@@ -165,3 +165,48 @@ def test_train_ivf_centroids_empty_and_deterministic(spark, vectors):
     a = train_ivf_centroids(vectors, n_cells=8, n_iters=3)
     b = train_ivf_centroids(vectors, n_cells=8, n_iters=3)
     assert a == b
+
+
+def test_kmeans_assign_matches_ivf_assignment_and_numpy(spark):
+    import numpy as np
+
+    from bop_consus_importing_rdf_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["cell"], r["l2sq_q"])
+        for r in kmeans_assign(df, n_cells=4).collect()
+    }
+
+    # independent reference with the operator's integer arithmetic
+    q = np.floor(vecs.astype("float64") * 1000).astype("int64")
+    cents = q[:4]  # sampled = 4 lowest vec_ids
+    for i in range(40):
+        d = ((q[i] - cents) ** 2).sum(axis=1)
+        cell = int(np.argmin(d))  # first-min tie-break == lowest cell id
+        assert got[i] == (cell, int(d[cell])), i
+
+
+def test_kmeans_assign_trained_centroids_and_empty(spark):
+    from bop_consus_importing_rdf_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [5.0, 5.0]), (4, [5.0, 4.99])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(0, [0, 0]), (1, [5000, 5000])]
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in kmeans_assign(df, centroids=cents).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+
+    empty = df.filter("vec_id < 0")
+    assert kmeans_assign(empty, n_cells=4).count() == 0
