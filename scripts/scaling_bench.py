@@ -383,6 +383,12 @@ ROUND5_MD = """
     count scan of non-blank docs, not a distinct over the exploded
     token stream (that spelling re-evaluated the explode and added an
     exchange).
+  - `kmeans_assign` at 1M vectors x 64 cells (corpus clustering /
+    SemDeDup stage 1): HOF literal-argmin spelling **55.7s**; int64
+    numpy Arrow argmin (bit-identical — exact integer arithmetic,
+    path-equality test-pinned) **8.3s (6.7x)**. Zero shuffles either
+    way; the numpy path is the default, the HOF path stays for
+    Python-worker-free deployments.
 """
 
 

@@ -210,3 +210,25 @@ def test_kmeans_assign_trained_centroids_and_empty(spark):
 
     empty = df.filter("vec_id < 0")
     assert kmeans_assign(empty, n_cells=4).count() == 0
+
+
+def test_kmeans_assign_numpy_hof_path_equality(spark):
+    import numpy as np
+
+    from bop_consus_importing_rdf_spark.operators.similarity import (
+        kmeans_assign,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(60, 6).astype("float32") * 2
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    a = sorted(
+        (r["vec_id"], r["cell"], r["l2sq_q"])
+        for r in kmeans_assign(df, n_cells=5, engine="numpy").collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cell"], r["l2sq_q"])
+        for r in kmeans_assign(df, n_cells=5, engine="hof").collect()
+    )
+    assert a == b
