@@ -166,6 +166,14 @@ COMMENTARY = {
         "— the double ln is the one shared evaluation, everything after "
         "is BIGINT."
     ),
+    "embedding_clusters": (
+        "Corpus clustering (the IVF coarse quantizer standalone): ZERO "
+        "shuffles — one Arrow-batched int64 matmul+argmin per batch "
+        "(bit-identical to the literal-HOF argmin, path-equality pinned; "
+        "numpy measured 6.7× at 1M vectors × 64 cells), centroids "
+        "broadcast as a literal, the whole operator pipelines into the "
+        "vector scan."
+    ),
     "harvest_diff": (
         "Incremental-harvest change detection: the canonical-hash "
         "snapshots are O(datasets)-row two-column tables regardless of "
