@@ -53,7 +53,11 @@ def pagerank(
     callers wanting multigraph weights should pre-aggregate). ``rank_q``
     is the rank in units of ``1/scale`` (initial rank = ``scale`` = 1.0).
     """
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # simple-graph contract enforced here, not by the caller: duplicate
+    # (src, dst) rows would inflate out-degree AND contribution count,
+    # silently diverging from the documented recurrence (and the oracle's
+    # SELECT DISTINCT edge CTE)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # adjacency with out-degree attached, materialized once: every
     # iteration joins it, and without the checkpoint each round would

@@ -22,7 +22,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import minhash_hex
@@ -154,11 +154,7 @@ def line_dedup(
 
     # the explode fans each doc into ~n_lines rows; modest vs shingling
     df = ensure_min_parallelism(df, multiplier=8)
-    lines = df.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), delim)).alias("n_lines"),
-        F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "line"),
-    )
+    lines = exploded_lines(df, id_col, text_col, delim)
     # min(struct) — (id, pos) is unique, so the trailing fields never
     # tie-break; they just ride along to avoid a join back to the stream
     kept = (
@@ -166,7 +162,37 @@ def line_dedup(
         .agg(F.min(F.struct("id", "pos", "line", "n_lines")).alias("_k"))
         .select("_k.id", "_k.pos", "_k.line", "_k.n_lines")
     )
-    return kept.groupBy("id").agg(
+    return kept.groupBy("id").agg(*reassemble_lines_aggs(delim))
+
+
+def exploded_lines(
+    df: DataFrame, id_col: str, text_col: str, delim: str
+) -> DataFrame:
+    """``(id, n_lines, pos, line)`` — one row per line of every document.
+
+    Shared by :func:`line_dedup` and the streaming twin so the split
+    spelling can never drift between them. ``delim`` is a LITERAL
+    delimiter: it is regex-escaped before ``F.split`` (which takes a Java
+    regex) so that split and the re-join in :func:`reassemble_lines_aggs`
+    (a literal ``array_join``) are symmetric for any delimiter —
+    ``delim="."`` or ``"|"`` would otherwise split on every position.
+    """
+    import re
+
+    pattern = re.escape(delim)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), pattern)).alias("n_lines"),
+        F.posexplode(F.split(F.col(text_col), pattern)).alias("pos", "line"),
+    )
+
+
+def reassemble_lines_aggs(delim: str) -> list[Column]:
+    """The per-document reassembly aggregates over ``(pos, line,
+    n_lines)`` rows: surviving lines re-joined in original order, plus
+    the original/kept line counts. Shared batch/stream (see
+    :func:`exploded_lines`)."""
+    return [
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
@@ -176,7 +202,7 @@ def line_dedup(
         ).alias("text"),
         F.max("n_lines").alias("n_lines"),
         F.count(F.lit(1)).alias("n_kept"),
-    )
+    ]
 
 
 # ---------------------------------------------------------------------------

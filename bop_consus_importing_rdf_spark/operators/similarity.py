@@ -191,27 +191,36 @@ def train_ivf_centroids(
     return list(enumerate(cents))
 
 
-def _assign_cells(v: DataFrame, cents_lit: Column, cell_ids_lit: Column) -> DataFrame:
-    """``(vec_id, _v, _cell)`` — nearest-centroid assignment as ONE literal
-    argmin projection, zero shuffles. Ties → first (lowest) cell id via
-    ``array_position``'s first-match rule. The distance array is projected
-    into a NAMED column first: higher-order functions evaluate interpreted
-    with no common-subexpression sharing, so referencing the distance
-    expression twice would compute the n_cells × dim aggregate twice per
-    corpus row."""
-    return (
+def _assign_cells(
+    v: DataFrame,
+    cents_lit: Column,
+    cell_ids_lit: Column,
+    keep_dist: bool = False,
+) -> DataFrame:
+    """``(vec_id, _v, _cell[, _m])`` — nearest-centroid assignment as ONE
+    literal argmin projection, zero shuffles. Ties → first (lowest) cell
+    id via ``array_position``'s first-match rule. The distance array and
+    its min are projected into NAMED columns first: higher-order
+    functions evaluate interpreted with no common-subexpression sharing,
+    so referencing the distance expression twice would compute the
+    n_cells × dim aggregate twice per corpus row. ``keep_dist`` retains
+    the min L2² as ``_m`` (the within-cluster tightness signal
+    :func:`kmeans_assign` returns)."""
+    out = (
         v.withColumn(
             "_d", F.transform(cents_lit, lambda c: _l2sq(F.col("_v"), c))
         )
+        .withColumn("_m", F.array_min("_d"))
         .withColumn(
             "_cell",
             F.element_at(
                 cell_ids_lit,
-                F.array_position(F.col("_d"), F.array_min("_d")).cast("int"),
+                F.array_position(F.col("_d"), F.col("_m")).cast("int"),
             ),
         )
         .drop("_d")
     )
+    return out if keep_dist else out.drop("_m")
 
 
 def ivf_topk(
@@ -636,20 +645,8 @@ def kmeans_assign(
             for _, cent in cent_pairs
         ]
     )
-    # distance array and its min are projected into NAMED columns before
-    # reuse (HOFs evaluate interpreted with no common-subexpression
-    # sharing — the measured O(n²) trap, see _assign_cells)
-    return (
-        v.withColumn(
-            "_d", F.transform(cents_lit, lambda c: _l2sq(F.col("_v"), c))
-        )
-        .withColumn("_m", F.array_min("_d"))
-        .select(
-            "vec_id",
-            F.element_at(
-                cell_ids_lit,
-                F.array_position(F.col("_d"), F.col("_m")).cast("int"),
-            ).alias("cell"),
-            F.col("_m").cast("long").alias("l2sq_q"),
-        )
+    return _assign_cells(v, cents_lit, cell_ids_lit, keep_dist=True).select(
+        "vec_id",
+        F.col("_cell").alias("cell"),
+        F.col("_m").cast("long").alias("l2sq_q"),
     )

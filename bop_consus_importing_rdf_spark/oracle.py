@@ -942,10 +942,9 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kg.pagerank import pagerank
 
     g = _graph(spark, sf_dir)
-    edges = (
-        g.filter(F.col("obj_kind") == "iri")
-        .select(F.col("subj").alias("src"), F.col("obj_value").alias("dst"))
-        .distinct()
+    # no .distinct() here: pagerank() enforces the simple-graph contract
+    edges = g.filter(F.col("obj_kind") == "iri").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
     )
     return pagerank(edges, iters=_PAGERANK_ITERS, scale=_PAGERANK_SCALE)
 

@@ -91,14 +91,16 @@ def stream_line_dedup(
     LINE SET is identical; which document keeps a shared line may
     differ.
     """
+    from ..operators.dedup import exploded_lines, reassemble_lines_aggs
+
     lines = (
-        spark.readStream.schema(DOCUMENTS_SCHEMA)
-        .parquet(input_dir)
-        .select(
+        exploded_lines(
+            spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(input_dir),
             "doc_id",
-            F.size(F.split(F.col("text"), delim)).alias("n_lines"),
-            F.posexplode(F.split(F.col("text"), delim)).alias("pos", "line"),
+            "text",
+            delim,
         )
+        .withColumnRenamed("id", "doc_id")
         .withColumn("line_md5", F.md5(F.col("line")))
         .dropDuplicates(["line_md5"])
     )
@@ -106,19 +108,7 @@ def stream_line_dedup(
     def _reassemble(batch_df, _batch_id):
         (
             batch_df.groupBy("doc_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "line"))
-                        ),
-                        lambda s: s["line"],
-                    ),
-                    delim,
-                ).alias("text"),
-                F.max("n_lines").alias("n_lines"),
-                F.count(F.lit(1)).alias("n_kept"),
-            )
+            .agg(*reassemble_lines_aggs(delim))
             .write.mode("append")
             .parquet(f"{output_dir}/data")
         )

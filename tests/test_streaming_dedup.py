@@ -64,9 +64,22 @@ def test_stream_line_dedup_across_batches_and_restarts(spark, tmp_path):
     q = stream_line_dedup(spark, in_dir, out_dir)
     q.awaitTermination(120)
     first = {r.doc_id: r for r in spark.read.parquet(f"{out_dir}/data").collect()}
-    assert first[1].text == "boiler\nalpha\nbeta"
-    assert (first[1].n_lines, first[1].n_kept) == (4, 3)
-    assert first[2].text == "gamma"
+    # WHICH doc keeps the cross-doc duplicate 'boiler' is not contractual
+    # (docs 1 and 2 share a micro-batch; dropDuplicates picks an arbitrary
+    # within-batch winner) — the contract is: every distinct line survives
+    # exactly once, per-doc counts are consistent, and kept lines preserve
+    # their original in-doc order
+    all_lines = [
+        ln for r in first.values() for ln in r.text.split("\n")
+    ]
+    assert sorted(all_lines) == ["alpha", "beta", "boiler", "gamma"]
+    assert first[1].text.split("\n") in (
+        ["boiler", "alpha", "beta"],  # doc 1 won 'boiler'
+        ["alpha", "beta"],            # doc 2 won it
+    )
+    for r in first.values():
+        assert r.n_kept == len(r.text.split("\n"))
+    assert (first[1].n_lines, first[2].n_lines) == (4, 2)
 
     # file 2 after a restart: every line of doc 3 was seen before the
     # restart (recovered state must reject it entirely); doc 4 is partly
