@@ -464,3 +464,67 @@ def prepare_corpus(
         start.alias("start_offset"),
         F.floor(start / F.lit(budget)).cast("long").alias("seq_id"),
     )
+
+
+def score_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score_q",
+) -> DataFrame:
+    """CCNet-style corpus terciles: bucket every document into ``head`` /
+    ``middle`` / ``tail`` by corpus-wide thirds of an integer score
+    (Wenzek et al., LREC 2020 §4.3 — they bucket by LM perplexity and
+    train preferentially on the head; lower score = better = head).
+
+    Boundaries are score THRESHOLDS, not per-row ranks: ``t1`` is the
+    smallest score whose cumulative count reaches ⌈N/3⌉ (integer test
+    ``3·cum ≥ N``), ``t2`` likewise for 2N/3 — so tied scores always
+    share a bucket and the assignment is engine-exact and deterministic
+    (a head bucket can exceed N/3 by the size of the tie straddling the
+    boundary). Pair with :func:`dsir_weights` (score = −logw_q) or any
+    integer quality/perplexity proxy.
+
+    Scale shape: ONE map-side-combinable ``groupBy(score).count()`` over
+    the corpus; the cumulative sum then runs over the O(distinct scores)
+    distribution table — a single-partition window over thousands-to-
+    millions of rows, never the corpus (at 100 TB, quantized scores keep
+    this table small; coarsen the quantization if a score column is
+    near-unique). The two one-row thresholds broadcast via crossJoin and
+    the final bucket assignment is a pure projection.
+    """
+    score = F.col(score_col).cast("long")
+    d = (
+        df.groupBy(score.alias("_s"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .withColumn(
+            "_cum",
+            F.sum("_c").over(
+                Window.orderBy("_s").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    n = d.agg(F.sum("_c").cast("long").alias("_n"))
+    bounds = (
+        d.crossJoin(F.broadcast(n))
+        .agg(
+            F.min(F.when(3 * F.col("_cum") >= F.col("_n"), F.col("_s"))).alias(
+                "_t1"
+            ),
+            F.min(
+                F.when(3 * F.col("_cum") >= 2 * F.col("_n"), F.col("_s"))
+            ).alias("_t2"),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), score.alias("score_q")).crossJoin(
+        F.broadcast(bounds)
+    ).select(
+        "id",
+        "score_q",
+        F.when(F.col("score_q") <= F.col("_t1"), F.lit("head"))
+        .when(F.col("score_q") <= F.col("_t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

@@ -1187,6 +1187,20 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(docs, target)
 
 
+def q_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail terciles over DSIR target-likeness
+    (score = -logw_q, so the most target-like third is the head)."""
+    from .operators.pretrain import dsir_weights, score_buckets
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 17 == 5)
+    w = dsir_weights(docs, target).select(
+        "id", (-F.col("logw_q")).alias("score_q")
+    )
+    return score_buckets(w, id_col="id", score_col="score_q")
+
+
 def q_prepare_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed pre-training flagship: dedup → quality/lang/Gopher
     gates → 13-gram decontamination (benchmark = the same doc_id % 90 ==
@@ -2741,6 +2755,7 @@ SPARK_QUERIES = {
     "decontaminate": q_decontaminate,
     "shuffle_shards": q_shuffle_shards,
     "dsir_weights": q_dsir_weights,
+    "dsir_buckets": q_dsir_buckets,
     "prepare_corpus": q_prepare_corpus,
     "events_asof_join": q_events_asof_join,
     "repetition_stats": q_repetition_stats,
@@ -2769,3 +2784,18 @@ SPARK_QUERIES = {
 
 ORACLES["kg_transcripts_e2e"] = _e2e_oracle_sql()
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql()
+ORACLES["dsir_buckets"] = (
+    # score_buckets over the dsir_weights oracle: thresholds are score
+    # values (ties share a bucket), integer tests only
+    f"WITH d AS ({ORACLES['dsir_weights']}), "
+    "s AS (SELECT id, -logw_q AS score_q FROM d), "
+    "dist AS (SELECT score_q AS sc, count(*) AS c FROM s GROUP BY score_q), "
+    "cum AS (SELECT sc, sum(c) OVER (ORDER BY sc) AS cm FROM dist), "
+    "n AS (SELECT count(*) AS n FROM s), "
+    "b AS (SELECT min(CASE WHEN 3*cm >= n THEN sc END) AS t1, "
+    "  min(CASE WHEN 3*cm >= 2*n THEN sc END) AS t2 "
+    "  FROM cum CROSS JOIN n) "
+    "SELECT id, score_q, CASE WHEN score_q <= t1 THEN 'head' "
+    "WHEN score_q <= t2 THEN 'middle' ELSE 'tail' END AS bucket "
+    "FROM s CROSS JOIN b"
+)

@@ -535,3 +535,32 @@ def test_prepare_corpus_composition_and_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     last_stage = plan.split("Exchange hashpartitioning")[0]
     assert last_stage.count("Window") >= 2
+
+
+def test_score_buckets_thirds_and_tie_handling(spark):
+    from bop_consus_importing_rdf_spark.operators.pretrain import (
+        score_buckets,
+    )
+
+    # 9 docs, distinct scores: exact thirds
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(9)], "doc_id long, score_q long"
+    )
+    got = {r["id"]: r["bucket"] for r in score_buckets(df).collect()}
+    assert [got[i] for i in range(9)] == (
+        ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    )
+
+    # a tie straddling the first boundary: ALL tied docs land in head
+    # (thresholds are score values, buckets never split a score)
+    df2 = spark.createDataFrame(
+        [(0, 1), (1, 5), (2, 5), (3, 5), (4, 7), (5, 9)],
+        "doc_id long, score_q long",
+    )
+    got2 = {r["id"]: r["bucket"] for r in score_buckets(df2).collect()}
+    # N=6: t1 = min score with 3*cum>=6  -> cum(5)=4, 12>=6  -> t1=5
+    #      t2 = min score with 3*cum>=12 -> cum(5)=4, 12>=12 -> t2=5 too:
+    # the tie swallows the whole first two thirds — head inflates, middle
+    # is empty, scores above the tie are tail (documented semantics)
+    assert got2 == {0: "head", 1: "head", 2: "head", 3: "head",
+                    4: "tail", 5: "tail"}
