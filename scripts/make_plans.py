@@ -174,6 +174,14 @@ COMMENTARY = {
         "broadcast as a literal, the whole operator pipelines into the "
         "vector scan."
     ),
+    "dsir_buckets": (
+        "CCNet terciles over DSIR target-likeness: dsir_weights' two "
+        "corpus passes plus ONE combinable groupBy(score) — the cumsum "
+        "and both thresholds run on the O(distinct scores) distribution "
+        "table (single-partition window over the distribution, never the "
+        "corpus), then broadcast to a pure bucket projection. 4.1s for "
+        "the bucketing alone at 1M docs."
+    ),
     "harvest_diff": (
         "Incremental-harvest change detection: the canonical-hash "
         "snapshots are O(datasets)-row two-column tables regardless of "

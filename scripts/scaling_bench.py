@@ -389,6 +389,10 @@ ROUND5_MD = """
     path-equality test-pinned) **8.3s (6.7x)**. Zero shuffles either
     way; the numpy path is the default, the HOF path stays for
     Python-worker-free deployments.
+  - `score_buckets` at 1M docs: **4.1s** — one combinable
+    groupBy(score) over the corpus; the cumsum/threshold pass runs on
+    the distribution table (~200 distinct scores here), never the
+    corpus. Terciles land 334.2k/334.2k/331.6k (boundary ties shared).
 """
 
 
