@@ -888,6 +888,22 @@ def q_doc_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corrupted-object negatives (k=3) over the mention
+    triple set — KG-embedding training data off the constructed graph."""
+    from .kg.negatives import corrupt_triples
+
+    linked = q_doc_entity_links(spark, sf_dir)
+    t = linked.select(
+        F.concat(
+            F.lit("urn:kg:turn:doc-"), F.col("doc_id"), F.lit(":0")
+        ).alias("subj"),
+        F.lit("urn:kg:pred:mentions").alias("pred"),
+        F.col("entity_uri").alias("obj"),
+    ).distinct()
+    return corrupt_triples(t, k=3)
+
+
 def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import exact_dedup
     from .sources.catalog import load_table
@@ -2119,6 +2135,29 @@ ORACLES: dict[str, str] = {
         "<urn:kg:pred:mentions> <' || entity_uri || '> .' AS line "
         "FROM cand WHERE rk = 1"
     ),
+    "kg_negative_samples": (
+        MENTIONS_CTE
+        + f", gaz AS ({GAZ_VALUES_SQL}), "
+        "cand AS (SELECT m.doc_id, m.mention_pos, g.entity_uri, "
+        "  row_number() OVER (PARTITION BY m.doc_id, m.mention_pos "
+        "  ORDER BY g.prior DESC, g.entity_uri ASC) AS rk "
+        "  FROM mentions m JOIN gaz g ON g.alias = m.alias), "
+        "trip AS (SELECT DISTINCT 'urn:kg:turn:doc-' || doc_id || ':0' "
+        "  AS subj, 'urn:kg:pred:mentions' AS pred, entity_uri AS obj "
+        "  FROM cand WHERE rk = 1), "
+        "pool AS (SELECT DISTINCT obj AS entity FROM trip), "
+        "idx AS (SELECT entity, row_number() OVER (ORDER BY entity) - 1 "
+        "  AS i FROM pool), "
+        "n AS (SELECT count(*) AS n FROM pool), "
+        "f AS (SELECT t.subj, t.pred, t.obj, j, "
+        "  ('0x' || substring(md5(t.subj || '|' || t.pred || '|' || "
+        "  t.obj || '|' || cast(j AS varchar)), 1, 8))::bigint % n.n "
+        "  AS i FROM trip t CROSS JOIN n "
+        "  CROSS JOIN (SELECT unnest(range(0, 3)) AS j)) "
+        "SELECT f.subj, f.pred, x.entity AS neg_obj, "
+        "cast(f.j AS bigint) AS sample_idx "
+        "FROM f JOIN idx x USING(i) WHERE x.entity != f.obj"
+    ),
     "exact_dedup_docs": (
         "WITH h AS (SELECT doc_id AS id, md5(text) AS m FROM documents), "
         "reps AS (SELECT m, min(id) AS rep_id FROM h GROUP BY m) "
@@ -2739,6 +2778,7 @@ SPARK_QUERIES = {
     "doc_mentions": q_doc_mentions,
     "doc_entity_links": q_doc_entity_links,
     "doc_kg_triples": q_doc_kg_triples,
+    "kg_negative_samples": q_kg_negative_samples,
     "exact_dedup_docs": q_exact_dedup_docs,
     "graph_pagerank": q_graph_pagerank,
     "line_dedup_docs": q_line_dedup_docs,
