@@ -888,6 +888,17 @@ def q_doc_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-weighted entity co-occurrence edges over the linked mentions
+    (relatedness enrichment next to the extracted triples)."""
+    from .kg.cooccur import cooccurrence_pmi
+
+    linked = q_doc_entity_links(spark, sf_dir)
+    return cooccurrence_pmi(
+        linked.select("doc_id", F.col("entity_uri").alias("entity"))
+    )
+
+
 def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corrupted-object negatives (k=3) over the mention
     triple set — KG-embedding training data off the constructed graph."""
@@ -2135,6 +2146,30 @@ ORACLES: dict[str, str] = {
         "<urn:kg:pred:mentions> <' || entity_uri || '> .' AS line "
         "FROM cand WHERE rk = 1"
     ),
+    "entity_cooccurrence": (
+        MENTIONS_CTE
+        + f", gaz AS ({GAZ_VALUES_SQL}), "
+        "cand AS (SELECT m.doc_id, m.mention_pos, g.entity_uri, "
+        "  row_number() OVER (PARTITION BY m.doc_id, m.mention_pos "
+        "  ORDER BY g.prior DESC, g.entity_uri ASC) AS rk "
+        "  FROM mentions m JOIN gaz g ON g.alias = m.alias), "
+        "ents AS (SELECT DISTINCT doc_id AS id, entity_uri AS entity "
+        "  FROM cand WHERE rk = 1), "
+        "cab AS (SELECT a.entity AS entity_a, b.entity AS entity_b, "
+        "  cast(count(*) AS bigint) AS n_pairs FROM ents a "
+        "  JOIN ents b ON b.id = a.id AND a.entity < b.entity "
+        "  GROUP BY a.entity, b.entity), "
+        "ce AS (SELECT entity, cast(count(*) AS bigint) AS c "
+        "  FROM ents GROUP BY entity), "
+        "n AS (SELECT cast(count(DISTINCT id) AS bigint) AS n "
+        "  FROM ents) "
+        "SELECT entity_a, entity_b, n_pairs, "
+        "cast(floor(1000000 * ln((cast(n.n AS double) * "
+        "cast(n_pairs AS double)) / (cast(ca.c AS double) * "
+        "cast(cb.c AS double)))) AS bigint) AS pmi_q "
+        "FROM cab JOIN ce ca ON ca.entity = cab.entity_a "
+        "JOIN ce cb ON cb.entity = cab.entity_b CROSS JOIN n"
+    ),
     "kg_negative_samples": (
         MENTIONS_CTE
         + f", gaz AS ({GAZ_VALUES_SQL}), "
@@ -2779,6 +2814,7 @@ SPARK_QUERIES = {
     "doc_entity_links": q_doc_entity_links,
     "doc_kg_triples": q_doc_kg_triples,
     "kg_negative_samples": q_kg_negative_samples,
+    "entity_cooccurrence": q_entity_cooccurrence,
     "exact_dedup_docs": q_exact_dedup_docs,
     "graph_pagerank": q_graph_pagerank,
     "line_dedup_docs": q_line_dedup_docs,
