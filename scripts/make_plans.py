@@ -182,6 +182,21 @@ COMMENTARY = {
         "corpus), then broadcast to a pure bucket projection. 4.1s for "
         "the bucketing alone at 1M docs."
     ),
+    "kg_negative_samples": (
+        "Reproducible corrupted-triplet negatives: the entity pool is "
+        "indexed by ONE row_number window over the O(entities) pool "
+        "table (never the triple corpus); each positive fans out k "
+        "md5-derived replacement indices row-locally and negatives "
+        "attach via a skew-free equi-join on the uniform index "
+        "(broadcast here — the pool is small; shuffle-join at scale)."
+    ),
+    "entity_cooccurrence": (
+        "PMI relatedness edges: per-doc entity sets from one combinable "
+        "collect_set groupBy; unordered pairs generated ROW-LOCALLY over "
+        "the sorted array (no self-join shuffle carries the quadratic "
+        "term); pair counts + marginals are combinable aggregations, "
+        "marginals broadcast back, ln quantized to BIGINT."
+    ),
     "harvest_diff": (
         "Incremental-harvest change detection: the canonical-hash "
         "snapshots are O(datasets)-row two-column tables regardless of "

@@ -393,6 +393,14 @@ ROUND5_MD = """
     groupBy(score) over the corpus; the cumsum/threshold pass runs on
     the distribution table (~200 distinct scores here), never the
     corpus. Terciles land 334.2k/334.2k/331.6k (boundary ties shared).
+  - `corrupt_triples` at the sf1 graph (1.88M positives, k=3,
+    1.67M-entity pool — too big to broadcast, shuffle equi-join on the
+    md5 index): **2.9s, 5.51M negatives** (collisions with the true
+    object dropped).
+  - `cooccurrence_pmi` at 1M docs (~25 entities/doc → ~3x10^8 row-local
+    pairs): **21.3s, 93k distinct edges** — the per-doc combination
+    fan-out never crosses an exchange raw; combiners collapse it to the
+    93k-group pair table before the shuffle.
 """
 
 
