@@ -401,6 +401,12 @@ ROUND5_MD = """
     pairs): **21.3s, 93k distinct edges** — the per-doc combination
     fan-out never crosses an exchange raw; combiners collapse it to the
     93k-group pair table before the shuffle.
+  - **spark-submit --py-files launch mode** (north rule's cluster
+    entry): `spark-submit --master local[8] --py-files pipeline.zip
+    job.py --output ... --synth-conv 2000` = **16 buckets committed in
+    67.5s** (24k turns -> 122k triples + lineage_metrics + _committed
+    marker); immediate re-run resumes from the committed buckets:
+    **0 buckets recommitted, 1.4s**.
 """
 
 
