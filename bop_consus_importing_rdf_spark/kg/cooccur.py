@@ -39,6 +39,11 @@ def cooccurrence_pmi(
     expression once per pair — the dsir/tfidf quantization discipline, so
     the DuckDB oracle matches exactly.
     """
+    # ents/per_doc are each consumed by two branches, but deliberately NOT
+    # checkpointed: the repeated subtrees hash-partition identically, so
+    # Spark's ReusedExchange covers the re-reads — measured 21.3s without
+    # checkpoints vs 31.4s with them at 1M docs (materializing the wide
+    # doc×entity and per-doc-array tables costs more than the reuse saves)
     ents = df.select(
         F.col(id_col).alias("id"), F.col(entity_col).alias("entity")
     ).distinct()
@@ -66,6 +71,10 @@ def cooccurrence_pmi(
     c_ab = pairs.groupBy("entity_a", "entity_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+    # O(entities) marginal table, consumed twice under different aliases —
+    # also NOT checkpointed: a checkpoint materializes in its own job,
+    # which cannot share the ents exchange with the main query (measured
+    # 29.4s with just this one checkpointed vs 21.3s without)
     c_e = ents.groupBy("entity").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )

@@ -41,6 +41,11 @@ def corrupt_triples(
 
     Returns ``(subj, pred, neg_obj, sample_idx)``.
     """
+    if k < 1:
+        # F.sequence(0, k-1) would DESCEND for k <= 0 (Spark defaults to
+        # step -1 when start > stop), silently emitting bogus negative
+        # sample indices — fail loudly instead
+        raise ValueError(f"k must be >= 1, got {k}")
     t = triples.select(
         F.col(subj_col).alias("subj"),
         F.col(pred_col).alias("pred"),

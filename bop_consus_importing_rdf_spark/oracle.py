@@ -1217,12 +1217,12 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dsir_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style head/middle/tail terciles over DSIR target-likeness
     (score = -logw_q, so the most target-like third is the head)."""
-    from .operators.pretrain import dsir_weights, score_buckets
-    from .sources.catalog import load_table
+    from .operators.pretrain import score_buckets
 
-    docs = load_table(spark, sf_dir, "documents")
-    target = docs.filter(F.col("doc_id") % 17 == 5)
-    w = dsir_weights(docs, target).select(
+    # reuse q_dsir_weights (NOT a copy of its target-slice definition):
+    # the oracle composes over ORACLES['dsir_weights'], so the Spark side
+    # must track that query by construction or the two silently drift
+    w = q_dsir_weights(spark, sf_dir).select(
         "id", (-F.col("logw_q")).alias("score_q")
     )
     return score_buckets(w, id_col="id", score_col="score_q")

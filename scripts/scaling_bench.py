@@ -401,6 +401,11 @@ ROUND5_MD = """
     pairs): **21.3s, 93k distinct edges** — the per-doc combination
     fan-out never crosses an exchange raw; combiners collapse it to the
     93k-group pair table before the shuffle.
+    Measured negative result: localCheckpoint-ing the reused
+    ents/per_doc/c_e subtrees made it SLOWER (31.4s / 29.4s vs 21.3s) —
+    checkpoints materialize in their own jobs and lose the
+    ReusedExchange sharing that already covers the re-reads; recorded
+    so it doesn't get re-tried.
   - **spark-submit --py-files launch mode** (north rule's cluster
     entry): `spark-submit --master local[8] --py-files pipeline.zip
     job.py --output ... --synth-conv 2000` = **16 buckets committed in
