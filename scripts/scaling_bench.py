@@ -412,6 +412,12 @@ ROUND5_MD = """
     67.5s** (24k turns -> 122k triples + lineage_metrics + _committed
     marker); immediate re-run resumes from the committed buckets:
     **0 buckets recommitted, 1.4s**.
+  - **Production harvest e2e at sf2** (2x the recorded sf1 run): 18.09M
+    statements (1.2GB NT dump) -> parse -> bucketed landing -> split
+    (3.0M datasets) -> render -> manifest = **105.0s** (~172k
+    statements/sec; sf1 was 88.5s for 9.05M -> 2x data at 1.19x wall,
+    per-job overhead amortizing); `--resume` from the committed triple
+    table: 93.0s. Zero rejects.
 """
 
 
