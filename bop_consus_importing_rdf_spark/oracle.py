@@ -475,6 +475,62 @@ TTL_BNODE_EXPECTED = [
 ]
 
 
+# Compact-form JSON-LD fixture (round-5 tail): inline @context with
+# prefixes, @vocab / @base / @language, a "@type": "@id" term, keyword
+# aliases, @graph, nested node objects (doc-scoped _:jgen labels — the
+# turtle _:tgen discipline), @list, JSON scalars (integer / canonical
+# double / boolean), value objects. Hand-derived expectation, same design
+# as TTL_BNODE_DOC.
+JSONLD_COMPACT_DOC = (
+    '{"@context": {"ex": "urn:ex:", "@vocab": "http://voc.org/",'
+    ' "@base": "http://base.org/dir/", "@language": "en",'
+    ' "home": {"@id": "ex:home", "@type": "@id"},'
+    ' "id": "@id", "type": "@type"},'
+    ' "@graph": [{"id": "thing1", "type": "ex:Thing",'
+    ' "name": "Alpha", "home": "page.html", "n": 42, "f": 2.5,'
+    ' "ok": true, "tags": {"@list": ["a", "b"]},'
+    ' "child": {"name": {"@value": "Kid", "@language": "de"}}}]}'
+)
+_JLD_TAG = _doc_label_tag(JSONLD_COMPACT_DOC)
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+JSONLD_COMPACT_EXPECTED = [
+    f"<http://base.org/dir/thing1> <{_RDF}type> <urn:ex:Thing> .",
+    '<http://base.org/dir/thing1> <http://voc.org/name> "Alpha"@en .',
+    "<http://base.org/dir/thing1> <urn:ex:home> "
+    "<http://base.org/dir/page.html> .",
+    "<http://base.org/dir/thing1> <http://voc.org/n> "
+    f'"42"^^<{_XSD}integer> .',
+    "<http://base.org/dir/thing1> <http://voc.org/f> "
+    f'"2.5E0"^^<{_XSD}double> .',
+    "<http://base.org/dir/thing1> <http://voc.org/ok> "
+    f'"true"^^<{_XSD}boolean> .',
+    f'_:jgen-{_JLD_TAG}-1 <{_RDF}first> "a"@en .',
+    f"_:jgen-{_JLD_TAG}-1 <{_RDF}rest> _:jgen-{_JLD_TAG}-2 .",
+    f'_:jgen-{_JLD_TAG}-2 <{_RDF}first> "b"@en .',
+    f"_:jgen-{_JLD_TAG}-2 <{_RDF}rest> <{_RDF}nil> .",
+    f"<http://base.org/dir/thing1> <http://voc.org/tags> "
+    f"_:jgen-{_JLD_TAG}-1 .",
+    f'_:jgen-{_JLD_TAG}-3 <http://voc.org/name> "Kid"@de .',
+    f"<http://base.org/dir/thing1> <http://voc.org/child> "
+    f"_:jgen-{_JLD_TAG}-3 .",
+]
+
+
+def q_jsonld_compact_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the compact-form JSON-LD fixture (inline @context) and emit
+    N-Triples lines; the oracle is the hand-derived expected line set."""
+    from .sources.jsonld_io import parse_jsonld_docs
+
+    docs = spark.createDataFrame([(JSONLD_COMPACT_DOC,)], "jsonld string")
+    parsed = parse_jsonld_docs(docs)
+    return parsed.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
 def q_ttl_bnode_base_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parse the adversarial full-grammar Turtle document and emit
     N-Triples lines; the oracle is the hand-derived expected line set."""
@@ -2026,6 +2082,14 @@ ORACLES: dict[str, str] = {
     # hand-derived expected lines for the full-grammar Turtle fixture (the
     # Spark side PARSES the document; none of these strings contain a
     # single quote, so direct embedding is safe)
+    "jsonld_compact_parse": (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            "('" + ln.replace("'", "''") + "')"
+            for ln in JSONLD_COMPACT_EXPECTED
+        )
+        + ") t(line)"
+    ),
     "ttl_bnode_base_parse": (
         "SELECT * FROM (VALUES "
         + ", ".join(f"('{ln}')" for ln in TTL_BNODE_EXPECTED)
@@ -2801,6 +2865,7 @@ SPARK_QUERIES = {
     "split_datasets": q_split_datasets,
     "split_datasets_bucketed": q_split_datasets_bucketed,
     "ttl_bnode_base_parse": q_ttl_bnode_base_parse,
+    "jsonld_compact_parse": q_jsonld_compact_parse,
     "trig_full_grammar_parse": q_trig_full_grammar_parse,
     "dataset_counter": q_dataset_counter,
     "manifest": q_manifest,

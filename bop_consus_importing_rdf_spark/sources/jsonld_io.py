@@ -195,3 +195,398 @@ def parse_jsonld(
         assist = assist.filter(F.col("_p.obj_kind").isNotNull())
     assist = assist.select("_p.*")
     return clean.unionByName(assist)
+
+
+# ---------------------------------------------------------------------------
+# compact-form documents (inline @context) — reference S5 completion
+# ---------------------------------------------------------------------------
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _canon_double(v: float) -> str:
+    """JSON-LD 1.1 canonical double form (§8.2: mantissa with at least one
+    digit after '.', 'E', exponent without leading zeros) — '1.0E0' etc."""
+    m, _, e = f"{v:.15E}".partition("E")
+    m = m.rstrip("0")
+    if m.endswith("."):
+        m += "0"
+    return f"{m}E{int(e)}"
+
+
+class _Ctx:
+    """Resolved inline-@context state for the supported subset."""
+
+    __slots__ = ("terms", "aliases", "vocab", "base", "lang")
+
+    def __init__(self):
+        self.terms: dict = {}     # term -> {"id": iri|None, "type": ..., "lang": ...}
+        self.aliases: dict = {}   # term -> "@id" | "@type"
+        self.vocab: str | None = None
+        self.base: str | None = None
+        self.lang: str | None = None
+
+    def copy(self) -> "_Ctx":
+        c = _Ctx()
+        c.terms = dict(self.terms)
+        c.aliases = dict(self.aliases)
+        c.vocab, c.base, c.lang = self.vocab, self.base, self.lang
+        return c
+
+
+def _ctx_expand_iri(value: str, ctx: _Ctx, vocab: bool) -> str | None:
+    """Expand a term / compact IRI / absolute IRI; JSON-LD expansion
+    semantics for the subset: terms first, then prefix:suffix, then
+    @vocab (vocab-relative positions) or @base (document-relative)."""
+    if value.startswith("_:"):
+        return value
+    t = ctx.terms.get(value)
+    if t is not None:
+        return t["id"]
+    if ":" in value:
+        prefix, _, suffix = value.partition(":")
+        p = ctx.terms.get(prefix)
+        if p is not None and p["id"] and not suffix.startswith("//"):
+            return p["id"] + suffix
+        return value  # absolute IRI (any scheme:rest)
+    if vocab:
+        return ctx.vocab + value if ctx.vocab else None
+    from .turtle_io import resolve_iri
+
+    if ctx.base is not None:
+        return resolve_iri(ctx.base, value)
+    raise ValueError(
+        f"relative IRI reference {value!r} with no @base / document base"
+    )
+
+
+def _parse_context(val, ctx: _Ctx) -> _Ctx:
+    """Merge one @context value into a copy of ``ctx`` (dict or list of
+    dicts only — a string is a REMOTE context, which a hermetic batch
+    parser must not fetch: loud failure, same policy as Turtle @base was
+    before support)."""
+    ctx = ctx.copy()
+    if isinstance(val, list):
+        for item in val:
+            ctx = _parse_context(item, ctx)
+        return ctx
+    if not isinstance(val, dict):
+        raise ValueError(
+            "remote/non-inline @context is not supported "
+            f"(got {type(val).__name__})"
+        )
+    # two passes so term definitions can reference sibling prefixes
+    for _ in range(2):
+        for term, d in val.items():
+            if term == "@vocab":
+                ctx.vocab = d
+                continue
+            if term == "@base":
+                ctx.base = d
+                continue
+            if term == "@language":
+                ctx.lang = d
+                continue
+            if term.startswith("@"):
+                raise ValueError(f"unsupported @context keyword {term!r}")
+            if d is None:
+                ctx.terms[term] = {"id": None, "type": None, "lang": ...}
+                continue
+            if isinstance(d, str):
+                if d in ("@id", "@type"):
+                    ctx.aliases[term] = d
+                    continue
+                ctx.terms[term] = {
+                    "id": _ctx_expand_iri(d, ctx, vocab=True) or d,
+                    "type": None,
+                    "lang": ...,
+                }
+                continue
+            if not isinstance(d, dict):
+                raise ValueError(f"unsupported term definition for {term!r}")
+            extra = set(d) - {"@id", "@type", "@language", "@container"}
+            if extra:
+                raise ValueError(
+                    f"unsupported term-definition keys {sorted(extra)} "
+                    f"for {term!r}"
+                )
+            if d.get("@container") not in (None, "@set"):
+                raise ValueError(
+                    f"unsupported @container {d['@container']!r} "
+                    f"for {term!r} (only @set)"
+                )
+            tid = d.get("@id", term)
+            if tid in ("@id", "@type"):
+                ctx.aliases[term] = tid
+                continue
+            ttype = d.get("@type")
+            if ttype is not None and ttype != "@id":
+                ttype = _ctx_expand_iri(ttype, ctx, vocab=True)
+            ctx.terms[term] = {
+                "id": _ctx_expand_iri(tid, ctx, vocab=True),
+                "type": ttype,
+                "lang": d["@language"] if "@language" in d else ...,
+            }
+    return ctx
+
+
+class _DocState:
+    __slots__ = ("tag", "n", "out")
+
+    def __init__(self, tag: str):
+        self.tag = tag
+        self.n = 0
+        self.out: list[tuple] = []
+
+    def bnode(self) -> str:
+        self.n += 1
+        return f"_:jgen-{self.tag}-{self.n}"
+
+
+def _as_list(v) -> list:
+    return v if isinstance(v, list) else [v]
+
+
+def _literal(v, tdef, ctx: _Ctx) -> tuple:
+    """(value, kind, lang, datatype) for a scalar JSON value."""
+    if isinstance(v, bool):
+        return ("true" if v else "false", "literal", None, _XSD_NS + "boolean")
+    if isinstance(v, int):
+        return (str(v), "literal", None, _XSD_NS + "integer")
+    if isinstance(v, float):
+        return (_canon_double(v), "literal", None, _XSD_NS + "double")
+    lang = ctx.lang
+    if tdef is not None and tdef["lang"] is not ...:
+        lang = tdef["lang"]
+    return (v, "literal", lang, None)
+
+
+def _object_of(v, tdef, ctx: _Ctx, st: _DocState):
+    """Expand one object position → (value, kind, lang, datatype) or None
+    to drop (JSON null)."""
+    if v is None:
+        return None
+    if isinstance(v, dict):
+        keys = {ctx.aliases.get(k, k) for k in v}
+        if "@value" in keys:
+            return _value_object(v, tdef, ctx)
+        if "@list" in keys:
+            items = [
+                o
+                for item in _as_list(_alias_get(v, "@list", ctx))
+                if (o := _object_of(item, tdef, ctx, st)) is not None
+            ]
+            if not items:
+                return (_RDF_NS + "nil", "iri", None, None)
+            head = st.bnode()
+            node = head
+            for i, (ov, ok, ol, od) in enumerate(items):
+                st.out.append((node, _RDF_NS + "first", ov, ok, ol, od))
+                nxt = st.bnode() if i < len(items) - 1 else _RDF_NS + "nil"
+                kind = "bnode" if nxt.startswith("_:") else "iri"
+                st.out.append((node, _RDF_NS + "rest", nxt, kind, None, None))
+                node = nxt
+            return (head, "bnode", None, None)
+        if "@graph" in keys:
+            raise ValueError("named graphs inside node objects are quads — "
+                             "not representable in the triple schema")
+        nid = _expand_node(v, ctx, st)
+        return (nid, "bnode" if nid.startswith("_:") else "iri", None, None)
+    if isinstance(v, str):
+        if tdef is not None and tdef["type"] == "@id":
+            iri = _ctx_expand_iri(v, ctx, vocab=False)
+            return (iri, "bnode" if iri.startswith("_:") else "iri",
+                    None, None)
+        if tdef is not None and tdef["type"] is not None:
+            return (v, "literal", None, tdef["type"])
+        return _literal(v, tdef, ctx)
+    return _literal(v, tdef, ctx)
+
+
+def _alias_get(obj: dict, kw: str, ctx: _Ctx):
+    for k, v in obj.items():
+        if k == kw or ctx.aliases.get(k) == kw:
+            return v
+    return None
+
+
+def _value_object(v: dict, tdef, ctx: _Ctx) -> tuple:
+    allowed = {"@value", "@language", "@type", "@index"}
+    for k in v:
+        kw = ctx.aliases.get(k, k)
+        if kw not in allowed:
+            raise ValueError(f"unsupported key {k!r} in value object")
+    body = _alias_get(v, "@value", ctx)
+    dt = _alias_get(v, "@type", ctx)
+    lang = _alias_get(v, "@language", ctx)
+    if isinstance(body, bool):
+        body, default_dt = ("true" if body else "false"), _XSD_NS + "boolean"
+    elif isinstance(body, int):
+        body, default_dt = str(body), _XSD_NS + "integer"
+    elif isinstance(body, float):
+        body, default_dt = _canon_double(body), _XSD_NS + "double"
+    elif isinstance(body, str):
+        default_dt = None
+    else:
+        raise ValueError(f"unsupported @value type {type(body).__name__}")
+    if dt is not None:
+        return (body, "literal", None, _ctx_expand_iri(dt, ctx, vocab=True))
+    if lang is not None:
+        return (body, "literal", lang, default_dt)
+    if default_dt is not None:
+        return (body, "literal", None, default_dt)
+    if tdef is not None and tdef["lang"] is not ...:
+        return (body, "literal", tdef["lang"], None)
+    return (body, "literal", ctx.lang, None)
+
+
+def _expand_node(obj: dict, ctx: _Ctx, st: _DocState) -> str:
+    """Emit a node object's triples into ``st.out``; return its id."""
+    local = _alias_get(obj, "@context", ctx)
+    if local is not None:
+        ctx = _parse_context(local, ctx)
+    nid = _alias_get(obj, "@id", ctx)
+    if nid is not None:
+        if not isinstance(nid, str):
+            raise ValueError("@id must be a string")
+        nid = _ctx_expand_iri(nid, ctx, vocab=False)
+    else:
+        nid = st.bnode()
+    for key, val in obj.items():
+        kw = ctx.aliases.get(key, key)
+        if kw in ("@id", "@context", "@index"):
+            continue
+        if kw == "@type":
+            for t in _as_list(val):
+                tiri = _ctx_expand_iri(t, ctx, vocab=True)
+                if tiri is None:
+                    continue
+                st.out.append(
+                    (nid, _RDF_NS + "type", tiri, "iri", None, None)
+                )
+            continue
+        if kw.startswith("@"):
+            raise ValueError(f"unsupported keyword {kw!r} in node object")
+        tdef = ctx.terms.get(key)
+        pred = _ctx_expand_iri(key, ctx, vocab=True)
+        if pred is None:
+            continue  # spec: non-IRI-mappable keys are dropped in expansion
+        for v in _as_list(val):
+            o = _object_of(v, tdef, ctx, st)
+            if o is None:
+                continue
+            ov, okind, olang, odt = o
+            st.out.append((nid, pred, ov, okind, olang, odt))
+    return nid
+
+
+def _expand_jsonld_doc(text: str, base_iri: str | None) -> list[tuple]:
+    """Compact / expanded JSON-LD document → statement tuples.
+
+    Supported subset (everything else raises, landing the document in
+    the malformed bucket with the error text — the loud-failure policy):
+    inline ``@context`` (dict / list of dicts) with term→IRI mappings,
+    prefixes, ``@vocab`` / ``@base`` / ``@language``, term definitions
+    carrying ``@id`` / ``@type`` (incl. ``"@type": "@id"``) /
+    ``@language`` / ``@container: @set``, keyword aliases for ``@id`` /
+    ``@type``; node objects with nested nodes (fresh doc-scoped
+    ``_:jgen-<md5-10>-<n>`` labels, same discipline as Turtle's
+    ``_:tgen``), ``@list`` (rdf:first/rest chains), value objects,
+    JSON scalars (xsd:integer / xsd:boolean / canonical xsd:double),
+    top-level ``@graph`` arrays (default graph only). Loud failures:
+    remote contexts, named graphs in node objects, ``@reverse`` and
+    other unsupported keywords. Cites reference S5: Jena consumes full
+    JSON-LD at Flows.kt:66-77; this covers the self-contained-document
+    subset a hermetic batch parser can honor without network fetches.
+    """
+    from .turtle_io import doc_label_tag
+
+    data = json.loads(text)
+    ctx = _Ctx()
+    ctx.base = base_iri
+    st = _DocState(doc_label_tag(text))
+    if isinstance(data, dict):
+        local = data.get("@context")
+        if local is not None:
+            ctx = _parse_context(local, ctx)
+        keys = {ctx.aliases.get(k, k) for k in data}
+        if "@graph" in keys:
+            extra = {
+                k for k in data
+                if ctx.aliases.get(k, k) not in ("@context", "@graph")
+            }
+            if extra:
+                raise ValueError(
+                    f"top-level @graph with sibling keys {sorted(extra)} "
+                    "would be a named graph (quads)"
+                )
+            nodes = _as_list(_alias_get(data, "@graph", ctx))
+        else:
+            nodes = [data]
+    elif isinstance(data, list):
+        nodes = data
+    else:
+        raise ValueError("JSON-LD document must be an object or array")
+    for node in nodes:
+        if not isinstance(node, dict):
+            raise ValueError("top-level node must be an object")
+        _expand_node(node, ctx, st)
+    return st.out
+
+
+def parse_jsonld_docs(
+    docs: DataFrame,
+    jsonld_col: str = "jsonld",
+    carry_cols: tuple[str, ...] = (),
+    keep_malformed: bool = False,
+    base_iri: str | None = None,
+    base_iri_col: str | None = None,
+) -> DataFrame:
+    """Whole compact-form JSON-LD documents → statement rows.
+
+    Same document-level mapInPandas architecture as
+    ``functions/rdfxml.parse_rdfxml`` (whole-document formats parallelize
+    across files; the per-document expansion is inherently recursive
+    Python): an unparseable/unsupported document yields ONE reject row
+    (``obj_kind`` NULL, error text in ``obj_value``) under
+    ``keep_malformed=True``, else raises. ``base_iri_col`` names a column
+    holding EACH document's own address (e.g. ``input_file_name()``) —
+    with a directory input a single path-derived base would mis-resolve
+    every file's relative IRIs (the turtle_io per-file-base rule);
+    a non-empty per-row value overrides ``base_iri``.
+    """
+    from collections.abc import Iterator
+
+    carry = list(carry_cols)
+    schema = PARSED_SCHEMA
+    for c in carry:
+        schema = f"{c} string, " + schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = carry + [
+            "subj", "pred", "obj_value", "obj_kind", "obj_lang",
+            "obj_datatype",
+        ]
+        for pdf in it:
+            out: list[tuple] = []
+            for _, row in pdf.iterrows():
+                prefix = tuple(row[c] for c in carry)
+                base = base_iri
+                if base_iri_col is not None and row[base_iri_col]:
+                    base = row[base_iri_col]
+                try:
+                    parsed = _expand_jsonld_doc(row[jsonld_col], base)
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    if not keep_malformed:
+                        raise
+                    out.append(
+                        prefix + (None, None, f"{type(e).__name__}: {e}",
+                                  None, None, None)
+                    )
+                    continue
+                out.extend(prefix + r for r in parsed)
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(batches, schema)

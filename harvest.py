@@ -52,7 +52,7 @@ _EXT_FORMAT = {
     ".xml": "rdfxml",
     ".jsonld": "jsonld",
 }
-FORMATS = ("nt", "nq", "ttl", "trig", "rdfxml", "jsonld")
+FORMATS = ("nt", "nq", "ttl", "trig", "rdfxml", "jsonld", "jsonld-doc")
 
 
 def detect_format(path: str) -> str:
@@ -125,8 +125,9 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
         docs = docs.select(pre_process_controls(F.col("value")).alias("value"))
     elif pre:
         raise SystemExit(
-            "--pre-process is not supported for RDF/XML input (the "
-            "space-in-IRI fix-up would corrupt XML attribute spacing)"
+            "--pre-process is not supported for RDF/XML or compact "
+            "JSON-LD input (the space-in-IRI fix-up would corrupt XML "
+            "attribute spacing / JSON punctuation)"
         )
     if fmt == "ttl":
         from bop_consus_importing_rdf_spark.sources.rdf_io import (
@@ -161,6 +162,25 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
                 pre_process_iri_spaces(F.col("value")).alias("value")
             )
         return parse_turtle(lines, keep_malformed=keep_malformed)
+    if fmt == "jsonld-doc":
+        # compact-form JSON-LD documents (inline @context); the
+        # line-oriented "jsonld" format remains the flattened
+        # one-statement-per-line form our serializer emits. Each file's
+        # own address is its base IRI (same rule as the ttl path).
+        from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+            parse_jsonld_docs,
+        )
+
+        base = input_base_iri(path) if "://" not in path else path
+        return parse_jsonld_docs(
+            docs.select(
+                F.col("value").alias("jsonld"),
+                F.input_file_name().alias("_src"),
+            ),
+            keep_malformed=keep_malformed,
+            base_iri=base,
+            base_iri_col="_src",
+        )
     if fmt == "rdfxml":
         from bop_consus_importing_rdf_spark.functions.rdfxml import (
             parse_rdfxml,

@@ -126,3 +126,89 @@ def test_jsonld_invalid_escapes_land_malformed_not_crash(spark):
     assert len(by_kind.get(None, [])) == 2
     good = by_kind["iri"]
     assert len(good) == 1 and good[0].subj == "A"
+
+
+def _rows(df):
+    return {
+        (r.subj, r.pred, r.obj_value, r.obj_kind, r.obj_lang, r.obj_datatype)
+        for r in df.collect()
+    }
+
+
+def test_jsonld_docs_expanded_form_and_top_level_array(spark):
+    from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+        parse_jsonld_docs,
+    )
+
+    doc = (
+        '[{"@id": "urn:a", "urn:p": [{"@id": "urn:b"},'
+        ' {"@value": "v", "@language": "fr"}]},'
+        ' {"@id": "urn:c", "urn:q": {"@value": "5",'
+        ' "@type": "http://www.w3.org/2001/XMLSchema#byte"}}]'
+    )
+    df = spark.createDataFrame([(doc,)], "jsonld string")
+    got = _rows(parse_jsonld_docs(df))
+    assert got == {
+        ("urn:a", "urn:p", "urn:b", "iri", None, None),
+        ("urn:a", "urn:p", "v", "literal", "fr", None),
+        ("urn:c", "urn:q", "5", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#byte"),
+    }
+
+
+def test_jsonld_docs_loud_failures_and_reject_rows(spark):
+    import pytest
+
+    from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+        parse_jsonld_docs,
+    )
+
+    bad = [
+        # remote context
+        '{"@context": "http://remote.example/ctx", "@id": "urn:a"}',
+        # @reverse
+        '{"@id": "urn:a", "@reverse": {"urn:p": {"@id": "urn:b"}}}',
+        # named graph inside a node object
+        '{"@id": "urn:g", "@graph": [{"@id": "urn:a"}], "urn:p": "x"}',
+        # relative @id with no base anywhere
+        '{"@id": "thing", "urn:p": "x"}',
+        # not JSON at all
+        "{nope",
+    ]
+    df = spark.createDataFrame([(b,) for b in bad], "jsonld string")
+    # strict mode: the task fails (surfaced as a PythonException /
+    # Py4J error depending on Spark version — assert on the message)
+    with pytest.raises(Exception, match="ValueError"):
+        parse_jsonld_docs(df).collect()
+    # lineage mode: one reject row per bad document
+    rej = parse_jsonld_docs(df, keep_malformed=True).collect()
+    assert len(rej) == len(bad)
+    assert all(r.obj_kind is None and r.subj is None for r in rej)
+    texts = [r.obj_value for r in rej]
+    assert any("remote" in t for t in texts)
+    assert any("@reverse" in t for t in texts)
+    assert any("quads" in t or "named graph" in t for t in texts)
+    assert any("relative IRI" in t for t in texts)
+
+
+def test_jsonld_docs_per_file_base_and_local_context(spark):
+    from pyspark.sql import functions as F
+
+    from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+        parse_jsonld_docs,
+    )
+
+    doc = '{"@id": "item", "urn:p": {"@context": {"@vocab": "urn:v:"}, "@id": "urn:x", "w": "y"}}'
+    rows = [(doc, "http://h1.org/a/f1.jsonld"), (doc, "http://h2.org/b/f2.jsonld")]
+    df = spark.createDataFrame(rows, "jsonld string, src string")
+    got = _rows(
+        parse_jsonld_docs(df, base_iri_col="src").select(
+            "subj", "pred", "obj_value", "obj_kind", "obj_lang",
+            "obj_datatype"
+        )
+    )
+    # each file resolves "item" against ITS OWN address; the nested
+    # node's local @context supplies @vocab for its keys
+    assert ("http://h1.org/a/item", "urn:p", "urn:x", "iri", None, None) in got
+    assert ("http://h2.org/b/item", "urn:p", "urn:x", "iri", None, None) in got
+    assert ("urn:x", "urn:v:w", "y", "literal", None, None) in got
