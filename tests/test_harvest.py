@@ -319,3 +319,48 @@ def test_harvest_multi_file_dir_per_doc_bases_and_labels(spark, tmp_path):
         r.obj_value for r in rows if r.pred == "urn:p:dist"
     }
     assert len(labels) == 2 and all(l.startswith("_:tgen-") for l in labels)
+
+
+def test_harvest_compact_jsonld_directory(spark, tmp_path):
+    """--format jsonld-doc end-to-end: compact documents with inline
+    @context parse into the same statement stream the splitter consumes;
+    per-file documents keep their own doc-scoped bnode labels."""
+    import json
+
+    from harvest import load_triples
+
+    in_dir = tmp_path / "jld"
+    in_dir.mkdir()
+    doc = {
+        "@context": {
+            "dcat": "http://www.w3.org/ns/dcat#",
+            "dct": "http://purl.org/dc/terms/",
+            "id": "@id",
+            "type": "@type",
+        },
+        "@graph": [
+            {
+                "id": "urn:ds:1",
+                "type": "dcat:Dataset",
+                "dct:title": "First",
+                "dcat:distribution": {
+                    "type": "dcat:Distribution",
+                    "dct:format": "CSV",
+                },
+            }
+        ],
+    }
+    (in_dir / "a.jsonld").write_text(json.dumps(doc), encoding="utf-8")
+    doc["@graph"][0]["id"] = "urn:ds:2"
+    (in_dir / "b.jsonld").write_text(json.dumps(doc), encoding="utf-8")
+
+    parsed = load_triples(
+        spark, str(in_dir), "jsonld-doc", pre=False, keep_malformed=False
+    )
+    rows = parsed.collect()
+    subjects = {r.subj for r in rows}
+    assert "urn:ds:1" in subjects and "urn:ds:2" in subjects
+    # the two files synthesize DISTINCT distribution bnode labels
+    bnodes = {r.obj_value for r in rows
+              if r.pred.endswith("distribution")}
+    assert len(bnodes) == 2 and all(b.startswith("_:jgen-") for b in bnodes)
