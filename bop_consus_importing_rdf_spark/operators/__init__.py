@@ -6,3 +6,4 @@ from .cleanup import (  # noqa: F401
 from .closure import reachable_closure, subgraph_triples  # noqa: F401
 from .split import split_datasets  # noqa: F401
 from .manifest import with_counter, manifest, duplicate_warnings  # noqa: F401
+from .diff import harvest_diff  # noqa: F401
