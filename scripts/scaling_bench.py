@@ -412,6 +412,11 @@ ROUND5_MD = """
     67.5s** (24k turns -> 122k triples + lineage_metrics + _committed
     marker); immediate re-run resumes from the committed buckets:
     **0 buckets recommitted, 1.4s**.
+  - End-of-round quiet-window re-bench (3 interleaved fresh-JVM passes,
+    per-query min): total **34.1s** (split 12.9s, kg 6.2s, nt_parse
+    5.3s), `extras.prepare_corpus` 6.6s, bucketed landing 10.2s —
+    consistent with the post-review 29.9s window given this box's
+    measured drift envelope.
   - **Production harvest e2e at sf2** (2x the recorded sf1 run): 18.09M
     statements (1.2GB NT dump) -> parse -> bucketed landing -> split
     (3.0M datasets) -> render -> manifest = **105.0s** (~172k
