@@ -328,10 +328,19 @@ def run_harvest(
             p.getFileSystem(
                 spark._jsc.hadoopConfiguration()
             ).delete(p, True)
+        hint = ""
+        if fmt == "jsonld":
+            # the line format expects one flattened statement object per
+            # line; a compact document (inline @context, multi-line JSON)
+            # rejects on every line — point at the document format
+            hint = (
+                " (a compact JSON-LD document with @context needs "
+                "--format jsonld-doc)"
+            )
         raise SystemExit(
             f"{n_rejects} unparseable statement(s) in {input_path} "
-            f"(format {fmt}) — rerun with --keep-malformed to continue "
-            f"and count them in metrics"
+            f"(format {fmt}){hint} — rerun with --keep-malformed to "
+            f"continue and count them in metrics"
         )
     triples = parsed.filter(F.col("obj_kind").isNotNull())
 
