@@ -417,6 +417,15 @@ ROUND5_MD = """
     5.3s), `extras.prepare_corpus` 6.6s, bucketed landing 10.2s —
     consistent with the post-review 29.9s window given this box's
     measured drift envelope.
+  - **sf1 headline refresh on end-of-round-5 code** (the r3 sf1 table
+    above is a static r3 record): fresh-JVM single pass at /tmp/sf1,
+    local[32] — total **77.2s** vs the 119.9s r3 record at the same
+    scale (1.55x), 10x the data of the 34.1s sf0.1 run at only 2.3x
+    wall. Per query: split 33.7s (+19.2s untimed bucketed landing),
+    kg_pipeline 11.5s = **206.4k turns/s on 2.38M turns** (5.4x the
+    sf0.1 rate — per-job overhead amortizes with scale, the north-rule
+    through-put keeps RISING), nt_parse 10.7s / 9.05M lines, minhash
+    9.8s / 50k docs, prepare_corpus extra 11.0s / 50k docs.
   - **Production harvest e2e at sf2** (2x the recorded sf1 run): 18.09M
     statements (1.2GB NT dump) -> parse -> bucketed landing -> split
     (3.0M datasets) -> render -> manifest = **105.0s** (~172k
