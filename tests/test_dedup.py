@@ -234,3 +234,52 @@ def test_line_dedup_single_line_docs_equal_exact_dedup_keepers(spark):
         for r in exact_dedup(docs, "id", "text").select("rep_id").collect()
     }
     assert survivors == reps
+
+
+def _py_line_dedup(rows, delim="\n"):
+    """Independent keep-first reference for line_dedup."""
+    docs = {i: text.split(delim) for i, text in rows}
+    keep = {}
+    for i in sorted(docs):
+        for p, ln in enumerate(docs[i]):
+            keep.setdefault(ln, (i, p))
+    out = {}
+    for i in sorted(docs):
+        kept = [ln for p, ln in enumerate(docs[i]) if keep[ln] == (i, p)]
+        if kept:
+            out[i] = (delim.join(kept), len(docs[i]), len(kept))
+    return out
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("seed,n_part", [(3, 1), (11, 7), (42, 32)])
+def test_line_dedup_randomized_vs_reference(spark, seed, n_part):
+    # seeded word-soup corpus with heavy line collisions; also proves
+    # partition invariance (keep-first is (id, pos)-defined, never
+    # arrival-order-defined)
+    import random
+
+    from bop_consus_importing_rdf_spark.operators.dedup import line_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(6)]
+    rows = [
+        (
+            i,
+            "\n".join(
+                " ".join(rng.choices(vocab, k=3))
+                for _ in range(rng.randint(1, 8))
+            ),
+        )
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").repartition(
+        n_part
+    )
+    got = {
+        r["id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(df, "id", "text").collect()
+    }
+    assert got == _py_line_dedup(rows)
