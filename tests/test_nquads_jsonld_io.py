@@ -212,3 +212,31 @@ def test_jsonld_docs_per_file_base_and_local_context(spark):
     assert ("http://h1.org/a/item", "urn:p", "urn:x", "iri", None, None) in got
     assert ("http://h2.org/b/item", "urn:p", "urn:x", "iri", None, None) in got
     assert ("urn:x", "urn:v:w", "y", "literal", None, None) in got
+
+
+def test_jsonld_docs_context_edges(spark):
+    from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+        _canon_double,
+        parse_jsonld_docs,
+    )
+
+    # JSON-LD 1.1 canonical double lexical forms
+    assert _canon_double(2.5) == "2.5E0"
+    assert _canon_double(1.0) == "1.0E0"
+    assert _canon_double(0.001) == "1.0E-3"
+    assert _canon_double(12345.678) == "1.2345678E4"
+
+    doc = (
+        '{"@context": {"ex": "urn:ex:",'
+        ' "keep": {"@id": "ex:keep", "@container": "@set"},'
+        ' "dropme": null},'
+        ' "@id": "urn:s", "keep": ["a", "b"], "dropme": "gone"}'
+    )
+    df = spark.createDataFrame([(doc,)], "jsonld string")
+    got = _rows(parse_jsonld_docs(df))
+    # @set containers are transparent; a null term definition DROPS the
+    # key (spec: decoupled term) rather than vocab-expanding it
+    assert got == {
+        ("urn:s", "urn:ex:keep", "a", "literal", None, None),
+        ("urn:s", "urn:ex:keep", "b", "literal", None, None),
+    }
