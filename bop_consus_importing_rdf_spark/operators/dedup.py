@@ -217,6 +217,95 @@ def minhash_signature(shingles: DataFrame, k: int = 8) -> DataFrame:
     return shingles.groupBy("id").agg(*aggs)
 
 
+def band_signatures(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """``(id, band_idx, band_key)`` — one row per (doc, band); the shared
+    banding spelling for the self-join, star, and index-match paths."""
+    band_structs = []
+    for b in range(bands):
+        cols = [
+            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws("|", *cols).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        "id", F.explode(F.array(*band_structs)).alias("band")
+    ).select("id", "band.band_idx", "band.band_key")
+
+
+def lsh_match_index(
+    new_sigs: DataFrame,
+    index_sigs: DataFrame,
+    k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket: int | None = 4096,
+) -> DataFrame:
+    """Incremental near-dup: match a NEW batch against an EXISTING
+    signature index — the production ingestion shape, where the corpus's
+    MinHash signatures are landed once (ideally bucketed by band key,
+    ``sources/bucketed.py``) and each arriving batch only joins its own
+    bands against the index instead of re-shingling 100 TB per delta.
+
+    Returns ``(new_id, index_id, n_agree)`` for every candidate pair
+    colliding on ≥1 band, where ``n_agree`` = number of agreeing minhash
+    components out of ``k`` — the standard unbiased Jaccard estimator
+    (Broder 1997), ``est_jaccard = n_agree / k``; an integer, so the
+    DuckDB oracle matches exactly. Callers wanting exact Jaccard join
+    document text by id for the verify pass (the index stores 32-byte
+    signatures, not shingle sets).
+
+    ``max_bucket`` defaults ON (4096): this is a clustering-style
+    ingestion path where a hot band bucket (boilerplate) must not go
+    quadratic — the cap counts BOTH sides' band rows, the same degenerate-
+    shingle rationale as :func:`minhash_dedup`.
+    """
+    nb = band_signatures(new_sigs, bands, rows_per_band)
+    ib = band_signatures(index_sigs, bands, rows_per_band)
+    if max_bucket is not None:
+        counts = (
+            nb.unionByName(ib)
+            .groupBy("band_idx", "band_key")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        nb = nb.join(counts, ["band_idx", "band_key"], "left_semi")
+    cand = (
+        nb.select("band_idx", "band_key", F.col("id").alias("new_id"))
+        .join(
+            ib.select("band_idx", "band_key", F.col("id").alias("index_id")),
+            ["band_idx", "band_key"],
+        )
+        .select("new_id", "index_id")
+        .distinct()
+    )
+    n_agree = sum(
+        F.when(F.col(f"_n_mh{p}") == F.col(f"_i_mh{p}"), 1).otherwise(0)
+        for p in range(k)
+    )
+    new_ren = new_sigs.select(
+        F.col("id").alias("new_id"),
+        *[F.col(f"mh{p}").alias(f"_n_mh{p}") for p in range(k)],
+    )
+    idx_ren = index_sigs.select(
+        F.col("id").alias("index_id"),
+        *[F.col(f"mh{p}").alias(f"_i_mh{p}") for p in range(k)],
+    )
+    return (
+        cand.join(new_ren, "new_id")
+        .join(idx_ren, "index_id")
+        .select(
+            "new_id", "index_id", n_agree.cast("long").alias("n_agree")
+        )
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -244,17 +333,7 @@ def lsh_candidate_pairs(
     degenerate shingles, not near-duplicates. When a caller does pass a
     cap here, the DuckDB oracle twins apply the identical cap.
     """
-    band_structs = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
-        )
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("id", "band.band_idx", "band.band_key")
+    banded = band_signatures(signatures, bands, rows_per_band)
     if max_bucket is not None:
         # map-side-combinable count per bucket, then a semi-join that keeps
         # only rows of sane buckets — the shuffle carries one row per
@@ -302,17 +381,7 @@ def lsh_candidate_star_pairs(
     acceptable for dedup clustering, wrong for exhaustive pair LISTING
     (use :func:`lsh_candidate_pairs` there).
     """
-    band_structs = []
-    for b in range(bands):
-        cols = [
-            F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
-        ]
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *cols).alias("band_key"))
-        )
-    banded = signatures.select(
-        "id", F.explode(F.array(*band_structs)).alias("band")
-    ).select("id", "band.band_idx", "band.band_key")
+    banded = band_signatures(signatures, bands, rows_per_band)
     if max_bucket is not None:
         ok = (
             banded.groupBy("band_idx", "band_key")

@@ -1062,6 +1062,26 @@ def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(docs, "doc_id", "text", k=5)
 
 
+def q_lsh_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion matching: the docs with doc_id % 10 == 0 are
+    the arriving batch, everything else is the landed signature index;
+    n_agree/6 is the Broder minhash Jaccard estimate per candidate."""
+    from .operators.dedup import (
+        lsh_match_index,
+        minhash_signature,
+        word_ngrams,
+    )
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signature(word_ngrams(docs, "doc_id", "text", 3), k=6)
+    new = sig.filter(F.col("id") % 10 == 0)
+    idx = sig.filter(F.col("id") % 10 != 0)
+    return lsh_match_index(
+        new, idx, k=6, bands=3, rows_per_band=2, max_bucket=None
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     # word 3-grams, not char shingles: the documents corpus is word-salad
     # over a tiny vocabulary, so char-5 shingle sets are near-identical
@@ -2302,6 +2322,33 @@ ORACLES: dict[str, str] = {
         "SELECT id, cast(rk AS bigint) AS rk, term, tf, score_q "
         "FROM r WHERE rk <= 5"
     ),
+    "lsh_index_match": (
+        _SHINGLES_CTE
+        + f", sig AS ({_SIG_SELECT}), "
+        "newb AS ("
+        "  SELECT id, 0 AS band_idx, mh0||'|'||mh1 AS band_key "
+        "  FROM sig WHERE id % 10 = 0 "
+        "  UNION ALL SELECT id, 1, mh2||'|'||mh3 FROM sig "
+        "  WHERE id % 10 = 0 "
+        "  UNION ALL SELECT id, 2, mh4||'|'||mh5 FROM sig "
+        "  WHERE id % 10 = 0), "
+        "idxb AS ("
+        "  SELECT id, 0 AS band_idx, mh0||'|'||mh1 AS band_key "
+        "  FROM sig WHERE id % 10 != 0 "
+        "  UNION ALL SELECT id, 1, mh2||'|'||mh3 FROM sig "
+        "  WHERE id % 10 != 0 "
+        "  UNION ALL SELECT id, 2, mh4||'|'||mh5 FROM sig "
+        "  WHERE id % 10 != 0), "
+        "cand AS (SELECT DISTINCT n.id AS new_id, i.id AS index_id "
+        "  FROM newb n JOIN idxb i USING(band_idx, band_key)) "
+        "SELECT c.new_id, c.index_id, cast("
+        "  (a.mh0 = b.mh0)::int + (a.mh1 = b.mh1)::int + "
+        "  (a.mh2 = b.mh2)::int + (a.mh3 = b.mh3)::int + "
+        "  (a.mh4 = b.mh4)::int + (a.mh5 = b.mh5)::int AS bigint) "
+        "  AS n_agree "
+        "FROM cand c JOIN sig a ON a.id = c.new_id "
+        "JOIN sig b ON b.id = c.index_id"
+    ),
     "minhash_signatures": _SHINGLES_CTE + _SIG_SELECT,
     "minhash_lsh_pairs": (
         _SHINGLES_CTE
@@ -2886,6 +2933,7 @@ SPARK_QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "lsh_index_match": q_lsh_index_match,
     "token_counts": q_token_counts,
     "lang_id": q_lang_id,
     "corpus_clean": q_corpus_clean,

@@ -283,3 +283,52 @@ def test_line_dedup_randomized_vs_reference(spark, seed, n_part):
         for r in line_dedup(df, "id", "text").collect()
     }
     assert got == _py_line_dedup(rows)
+
+
+def test_lsh_match_index_candidates_and_estimator(spark):
+    from bop_consus_importing_rdf_spark.operators.dedup import (
+        lsh_match_index,
+        minhash_signature,
+        word_ngrams,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "a completely unrelated sentence about engines"),
+            (10, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+            (20, "another unrelated one about parquet files"),
+        ],
+        "id long, text string",
+    )
+    sig = minhash_signature(word_ngrams(docs, "id", "text", 3), k=8)
+    new = sig.filter("id >= 10")
+    idx = sig.filter("id < 10")
+    got = {
+        (r["new_id"], r["index_id"]): r["n_agree"]
+        for r in lsh_match_index(new, idx, k=8).collect()
+    }
+    # the exact copy collides and agrees on ALL 8 components; candidates
+    # are strictly new x index (no index-internal or new-internal pairs)
+    assert got == {(10, 1): 8}
+
+
+def test_lsh_match_index_hot_bucket_cap(spark):
+    from bop_consus_importing_rdf_spark.operators.dedup import (
+        lsh_match_index,
+        minhash_signature,
+        word_ngrams,
+    )
+
+    # every doc identical -> one hot bucket per band covering all rows
+    docs = spark.createDataFrame(
+        [(i, "same same same same") for i in range(30)],
+        "id long, text string",
+    )
+    sig = minhash_signature(word_ngrams(docs, "id", "text", 3), k=8)
+    new = sig.filter("id >= 20")
+    idx = sig.filter("id < 20")
+    capped = lsh_match_index(new, idx, k=8, max_bucket=10)
+    assert capped.count() == 0  # bucket of 30 band rows > cap -> skipped
+    uncapped = lsh_match_index(new, idx, k=8, max_bucket=None)
+    assert uncapped.count() == 10 * 20
