@@ -426,6 +426,12 @@ ROUND5_MD = """
     sf0.1 rate — per-job overhead amortizes with scale, the north-rule
     through-put keeps RISING), nt_parse 10.7s / 9.05M lines, minhash
     9.8s / 50k docs, prepare_corpus extra 11.0s / 50k docs.
+  - `lsh_match_index` at 1M docs (900k landed index / 100k arriving
+    batch, word-3-grams k=6 bands=3): signature landing 25.1s (one-time,
+    amortized across every future batch), the per-batch match itself
+    **6.1s** — 22,188 candidates, 9,251 at estimated Jaccard >= 5/6. The
+    incremental story: each delta pays the match join, never the corpus
+    re-shingle.
   - **Production harvest e2e at sf2** (2x the recorded sf1 run): 18.09M
     statements (1.2GB NT dump) -> parse -> bucketed landing -> split
     (3.0M datasets) -> render -> manifest = **105.0s** (~172k
