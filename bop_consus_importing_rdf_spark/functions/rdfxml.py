@@ -12,12 +12,17 @@ natively against the statement-table model:
   inline on the property element, which sidesteps a global prefix table.
   Document assembly is one ``collect_list`` per source document.
 - **parse**: Arrow-batched ``mapInPandas`` over whole documents using
-  stdlib ``xml.etree`` — namespace-aware, handling ``rdf:Description`` and
-  typed node elements, ``rdf:about``/``rdf:nodeID`` (blank) subjects,
-  ``rdf:resource``/``rdf:nodeID`` object attributes, nested node elements
-  (anonymous → generated blank ids), literals with inherited ``xml:lang``
-  and ``rdf:datatype``. ``rdf:ID``/``rdf:parseType``/``rdf:li`` are outside
-  the supported subset and raise cleanly rather than mis-parse.
+  stdlib ``xml.etree`` — namespace-aware, full grammar since round 5:
+  ``rdf:Description`` and typed node elements, ``rdf:about``/``rdf:nodeID``
+  (blank)/``rdf:ID`` subjects, ``rdf:resource``/``rdf:nodeID`` object
+  attributes, nested node elements (anonymous → generated blank ids),
+  literals with inherited ``xml:lang`` and ``rdf:datatype``, ``rdf:li``
+  container expansion (``rdf:_1`` …), ``rdf:parseType``
+  Resource/Collection/Literal, scoped ``xml:base`` + RFC 3986 relative-IRI
+  resolution (resolver shared with the Turtle parser), and property
+  attributes on node and property elements. Withdrawn syntax
+  (``rdf:aboutEach``/``rdf:bagID``) and property-element ``rdf:ID``
+  (reification) raise cleanly rather than mis-parse.
 
 Round-trip (render ∘ parse == id over the fixture graph) is an oracle-gated
 driver query: the N-Triples lines of the round-tripped statements must hash
@@ -175,66 +180,205 @@ def _expand(tag: str) -> str:
     return tag
 
 
-def _parse_doc(xml: str) -> list[tuple]:
+#: rdf: attributes consumed structurally by the grammar walk — anything
+#: else in the rdf: namespace on an element is either withdrawn syntax
+#: (``aboutEach``/``bagID``) or reification (property-element ``ID``),
+#: both rejected loudly rather than mis-parsed.
+_RDF_SYNTAX_ATTRS = frozenset(
+    {"about", "nodeID", "ID", "resource", "datatype", "parseType"}
+)
+RDF_XML_LITERAL = RDF_NS + "XMLLiteral"
+
+
+def _parse_doc(xml: str, base_iri: str | None = None) -> list[tuple]:
+    """Full RDF/XML grammar walk (W3C rdf-syntax-grammar sections noted
+    inline): node/property elements, ``rdf:li`` container expansion,
+    ``rdf:parseType`` Resource/Collection/Literal, ``rdf:ID`` + scoped
+    ``xml:base`` with RFC 3986 resolution (shared with the Turtle parser,
+    ``turtle_io.resolve_iri`` — relative IRIs with no in-scope base raise
+    its loud error), and property attributes on node and property
+    elements. Reference ingests RDF/XML via Jena (``Flows.kt:47-48``);
+    the fresh-bnode/counter behavior mirrors Jena's genid allocation."""
     import xml.etree.ElementTree as ET
+
+    from ..sources.turtle_io import doc_label_tag, resolve_iri
 
     root = ET.fromstring(xml)
     rows: list[tuple] = []
-    gen = [0]
+    # anon-node labels are ``_:xgen-<doc-md5-10>-<n>`` — doc-scoped for the
+    # same reason as the Turtle parser's ``_:tgen-…`` (turtle_io.py): a
+    # per-document counter alone would collide across files of a
+    # multi-file harvest and silently merge unrelated bnodes on union
+    gen = [0, doc_label_tag(xml)]
 
     def fresh_bnode() -> str:
         gen[0] += 1
-        return f"_:genid{gen[0]}"
+        return f"_:xgen-{gen[1]}-{gen[0]}"
 
-    def node_subject(el) -> str:
+    def checked_label(node_id: str) -> str:
+        if node_id.startswith("xgen-"):
+            raise ValueError(
+                "rdf:nodeID label collides with the synthesized anon-node "
+                "prefix 'xgen-'"
+            )
+        return "_:" + node_id
+
+    def scoped_base(el, base: str | None) -> str | None:
+        b = el.get(f"{{{XML_NS}}}base")
+        if b is None:
+            return base
+        # a relative xml:base resolves against the outer scope (RFC 3986
+        # §5.1.1); fragments are dropped from a base per §5.1
+        return resolve_iri(base, b).split("#", 1)[0]
+
+    def node_subject(el, base: str | None) -> str:
         about = el.get(f"{{{RDF_NS}}}about")
-        if about is not None:
-            return about
         node_id = el.get(f"{{{RDF_NS}}}nodeID")
+        rdf_id = el.get(f"{{{RDF_NS}}}ID")
+        if sum(x is not None for x in (about, node_id, rdf_id)) > 1:
+            raise ValueError(
+                "at most one of rdf:about / rdf:nodeID / rdf:ID is allowed "
+                "on a node element"
+            )
+        if about is not None:
+            return resolve_iri(base, about)
         if node_id is not None:
-            return "_:" + node_id
-        if el.get(f"{{{RDF_NS}}}ID") is not None:
-            raise ValueError("rdf:ID is outside the supported RDF/XML subset")
+            return checked_label(node_id)
+        if rdf_id is not None:
+            # §2.14: rdf:ID="name" on a node element ≡ rdf:about="#name"
+            return resolve_iri(base, "#" + rdf_id)
         return fresh_bnode()
 
-    def walk_node(el, inherited_lang: str | None) -> str:
-        subj = node_subject(el)
-        lang = el.get(f"{{{XML_NS}}}lang", inherited_lang)
-        tag = _expand(el.tag)
-        if tag != RDF_NS + "Description":
-            rows.append((subj, RDF_TYPE, tag, KIND_IRI, None, None))
+    def emit_prop_attrs(subj: str, el, lang: str | None, base: str | None):
+        """§2.5/§2.12 property attributes: every non-syntax attribute is a
+        literal property of ``subj`` (rdf:type: an IRI property)."""
+        for k, v in el.attrib.items():
+            full = _expand(k)
+            if full.startswith(XML_NS):
+                continue
+            if full.startswith(RDF_NS):
+                local = full[len(RDF_NS):]
+                if local in _RDF_SYNTAX_ATTRS:
+                    continue
+                if full == RDF_TYPE:
+                    rows.append(
+                        (subj, RDF_TYPE, resolve_iri(base, v), KIND_IRI,
+                         None, None)
+                    )
+                    continue
+                raise ValueError(
+                    f"rdf:{local} attribute is withdrawn or unsupported "
+                    "RDF/XML syntax"
+                )
+            rows.append((subj, full, v, "literal", lang, None))
+
+    def walk_props(subj: str, el, lang: str | None, base: str | None):
+        """Property elements of one node element (or of one
+        ``parseType="Resource"`` pseudo-node)."""
+        li = [0]
         for pel in el:
             pred = _expand(pel.tag)
             if pred == RDF_NS + "li":
-                raise ValueError("rdf:li is outside the supported subset")
-            if pel.get(f"{{{RDF_NS}}}parseType") is not None:
+                # §2.15 container membership: li → rdf:_1, rdf:_2, …
+                # numbered per PARENT element
+                li[0] += 1
+                pred = f"{RDF_NS}_{li[0]}"
+            if pel.get(f"{{{RDF_NS}}}ID") is not None:
                 raise ValueError(
-                    "rdf:parseType is outside the supported subset"
+                    "rdf:ID on a property element (statement reification) "
+                    "is outside the supported subset"
                 )
+            p_base = scoped_base(pel, base)
             p_lang = pel.get(f"{{{XML_NS}}}lang", lang)
+            parse_type = pel.get(f"{{{RDF_NS}}}parseType")
             resource = pel.get(f"{{{RDF_NS}}}resource")
             node_ref = pel.get(f"{{{RDF_NS}}}nodeID")
             dt = pel.get(f"{{{RDF_NS}}}datatype")
             children = list(pel)
-            if resource is not None:
-                rows.append((subj, pred, resource, KIND_IRI, None, None))
-            elif node_ref is not None:
-                rows.append((subj, pred, "_:" + node_ref, KIND_BNODE, None, None))
+            if parse_type == "Resource":
+                # §2.16: implicit blank node owning the nested properties
+                b = fresh_bnode()
+                rows.append((subj, pred, b, KIND_BNODE, None, None))
+                emit_prop_attrs(b, pel, p_lang, p_base)
+                walk_props(b, pel, p_lang, p_base)
+            elif parse_type == "Collection":
+                # §2.18: children are node elements chained rdf:first/rest
+                items = [walk_node(c, p_lang, p_base) for c in children]
+                cell = RDF_NS + "nil"
+                kind = KIND_IRI
+                for item in reversed(items):
+                    nxt = fresh_bnode()
+                    rows.append((nxt, RDF_NS + "rest", cell, kind, None, None))
+                    rows.append(
+                        (nxt, RDF_NS + "first", item,
+                         KIND_BNODE if item.startswith("_:") else KIND_IRI,
+                         None, None)
+                    )
+                    cell, kind = nxt, KIND_BNODE
+                rows.append((subj, pred, cell, kind, None, None))
+            elif parse_type is not None:
+                # §2.9: "Literal" — and any OTHER value is treated as
+                # Literal per the grammar (parseTypeOtherPropertyElt) —
+                # the lexical form is the serialized inner XML
+                inner = pel.text or ""
+                inner += "".join(
+                    ET.tostring(c, encoding="unicode") for c in children
+                )
+                rows.append(
+                    (subj, pred, inner, "literal", None, RDF_XML_LITERAL)
+                )
+            elif resource is not None or node_ref is not None:
+                if resource is not None and node_ref is not None:
+                    raise ValueError(
+                        "rdf:resource and rdf:nodeID cannot both appear on "
+                        "one property element"
+                    )
+                if resource is not None:
+                    obj, kind = resolve_iri(p_base, resource), KIND_IRI
+                else:
+                    obj, kind = checked_label(node_ref), KIND_BNODE
+                rows.append((subj, pred, obj, kind, None, None))
+                # §2.12: property attributes apply to the object resource
+                emit_prop_attrs(obj, pel, p_lang, p_base)
             elif children:
-                obj = walk_node(children[0], p_lang)
+                obj = walk_node(children[0], p_lang, p_base)
                 kind = KIND_BNODE if obj.startswith("_:") else KIND_IRI
                 rows.append((subj, pred, obj, kind, None, None))
             else:
-                text = pel.text or ""
-                rows.append(
-                    (subj, pred, text, "literal",
-                     None if dt is not None else p_lang, dt)
-                )
+                non_syntax_attrs = [
+                    k for k in pel.attrib
+                    if not _expand(k).startswith(XML_NS)
+                    and _expand(k) != RDF_NS + "datatype"
+                ]
+                if non_syntax_attrs:
+                    # §2.12 shorthand: empty property element whose
+                    # property attributes describe a fresh blank node
+                    b = fresh_bnode()
+                    rows.append((subj, pred, b, KIND_BNODE, None, None))
+                    emit_prop_attrs(b, pel, p_lang, p_base)
+                else:
+                    text = pel.text or ""
+                    rows.append(
+                        (subj, pred, text, "literal",
+                         None if dt is not None else p_lang,
+                         resolve_iri(p_base, dt) if dt is not None else None)
+                    )
+
+    def walk_node(el, inherited_lang: str | None, base: str | None) -> str:
+        base = scoped_base(el, base)
+        subj = node_subject(el, base)
+        lang = el.get(f"{{{XML_NS}}}lang", inherited_lang)
+        tag = _expand(el.tag)
+        if tag != RDF_NS + "Description":
+            rows.append((subj, RDF_TYPE, tag, KIND_IRI, None, None))
+        emit_prop_attrs(subj, el, lang, base)
+        walk_props(subj, el, lang, base)
         return subj
 
     root_lang = root.get(f"{{{XML_NS}}}lang")
+    root_base = scoped_base(root, base_iri)
     for el in root:
-        walk_node(el, root_lang)
+        walk_node(el, root_lang, root_base)
     return rows
 
 
@@ -249,6 +393,8 @@ def parse_rdfxml(
     xml_col: str = "xml",
     carry_cols: tuple[str, ...] = (),
     keep_malformed: bool = False,
+    base_iri: str | None = None,
+    base_iri_col: str | None = None,
 ) -> DataFrame:
     """Whole RDF/XML documents → statement rows, Arrow-batched.
 
@@ -258,6 +404,16 @@ def parse_rdfxml(
     ONE reject row (``obj_kind`` NULL, the error text in ``obj_value``)
     instead of failing the task — the reference rethrows with address
     context (``Flows.kt:75-77``); here the address IS the carry column.
+
+    ``base_iri`` is the document address (Jena's ``baseUri``,
+    ``Flows.kt:69``) used to resolve relative ``rdf:about`` /
+    ``rdf:resource`` / ``rdf:datatype`` and ``rdf:ID`` fragments; an
+    in-document ``xml:base`` overrides it element-scoped. A relative IRI
+    with neither raises loudly (→ the reject bucket under
+    ``keep_malformed``), never lands unresolved. ``base_iri_col`` names a
+    column carrying a PER-ROW document address (``input_file_name()`` on
+    a directory ingest — the Turtle/JSON-LD path's convention in
+    ``harvest.py``); an empty/NULL cell falls back to ``base_iri``.
     """
     carry = list(carry_cols)
     schema = PARSED_SCHEMA
@@ -274,8 +430,13 @@ def parse_rdfxml(
             out: list[tuple] = []
             for _, row in pdf.iterrows():
                 prefix = tuple(row[c] for c in carry)
+                base = base_iri
+                if base_iri_col is not None:
+                    per_row = row[base_iri_col]
+                    if per_row is not None and per_row != "":
+                        base = per_row
                 try:
-                    parsed = _parse_doc(row[xml_col])
+                    parsed = _parse_doc(row[xml_col], base_iri=base)
                 except (ET.ParseError, ValueError) as e:
                     if not keep_malformed:
                         raise

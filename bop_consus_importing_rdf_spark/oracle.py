@@ -546,6 +546,85 @@ def q_ttl_bnode_base_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full-grammar RDF/XML fixture (round-5 tail): rdf:ID + scoped xml:base
+# (element-level override), rdf:li container expansion, rdf:parseType
+# Resource / Collection / Literal, property attributes on node and
+# property elements, relative rdf:resource resolution. Same hand-derived
+# expectation design as TTL_BNODE_DOC; bnode labels are the doc-scoped
+# _:xgen-<md5-10>-<n> (same discipline as the Turtle parser's _:tgen).
+RDFXML_FULL_DOC = """<?xml version="1.0"?>
+<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+         xmlns:ex="http://ex.org/v#"
+         xml:base="http://base.org/dir/page">
+  <rdf:Description rdf:ID="frag" ex:title="Hello" xml:lang="en">
+    <ex:knows rdf:resource="other" ex:note="attached"/>
+    <ex:bag>
+      <rdf:Bag>
+        <rdf:li>one</rdf:li>
+        <rdf:li rdf:resource="two"/>
+      </rdf:Bag>
+    </ex:bag>
+    <ex:addr rdf:parseType="Resource">
+      <ex:city>Berlin</ex:city>
+      <ex:zip rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">10</ex:zip>
+    </ex:addr>
+    <ex:list rdf:parseType="Collection">
+      <rdf:Description rdf:about="a"/>
+      <rdf:Description rdf:about="urn:abs:b"/>
+    </ex:list>
+    <ex:xml rdf:parseType="Literal">pre<b attr="v">bold</b>post</ex:xml>
+    <ex:card ex:name="Ada" ex:mail="a@b.c"/>
+  </rdf:Description>
+  <ex:Thing rdf:about="/root" xml:base="http://other.org/x/y">
+    <ex:rel rdf:resource="../z"/>
+  </ex:Thing>
+</rdf:RDF>"""
+_XML_TAG = _doc_label_tag(RDFXML_FULL_DOC)
+_XB = [f"_:xgen-{_XML_TAG}-{i}" for i in range(6)]
+_EXV = "http://ex.org/v#"
+_FRAG = "http://base.org/dir/page#frag"
+RDFXML_FULL_EXPECTED = [
+    f'<{_FRAG}> <{_EXV}title> "Hello"@en .',
+    f"<{_FRAG}> <{_EXV}knows> <http://base.org/dir/other> .",
+    f'<http://base.org/dir/other> <{_EXV}note> "attached"@en .',
+    f"{_XB[1]} <{_RDF}type> <{_RDF}Bag> .",
+    f'{_XB[1]} <{_RDF}_1> "one"@en .',
+    f"{_XB[1]} <{_RDF}_2> <http://base.org/dir/two> .",
+    f"<{_FRAG}> <{_EXV}bag> {_XB[1]} .",
+    f"<{_FRAG}> <{_EXV}addr> {_XB[2]} .",
+    f'{_XB[2]} <{_EXV}city> "Berlin"@en .',
+    f'{_XB[2]} <{_EXV}zip> "10"^^<{_XSD}integer> .',
+    f"{_XB[3]} <{_RDF}rest> <{_RDF}nil> .",
+    f"{_XB[3]} <{_RDF}first> <urn:abs:b> .",
+    f"{_XB[4]} <{_RDF}rest> {_XB[3]} .",
+    f"{_XB[4]} <{_RDF}first> <http://base.org/dir/a> .",
+    f"<{_FRAG}> <{_EXV}list> {_XB[4]} .",
+    f'<{_FRAG}> <{_EXV}xml> "pre<b attr=\\"v\\">bold</b>post"'
+    f"^^<{_RDF}XMLLiteral> .",
+    f"<{_FRAG}> <{_EXV}card> {_XB[5]} .",
+    f'{_XB[5]} <{_EXV}name> "Ada"@en .',
+    f'{_XB[5]} <{_EXV}mail> "a@b.c"@en .',
+    f"<http://other.org/root> <{_RDF}type> <{_EXV}Thing> .",
+    f"<http://other.org/root> <{_EXV}rel> <http://other.org/z> .",
+]
+
+
+def q_rdfxml_full_grammar_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the full-grammar RDF/XML document (rdf:li / parseType /
+    rdf:ID / xml:base / property attributes) and emit N-Triples lines;
+    oracle = the hand-derived expected line set."""
+    from .functions.rdfxml import parse_rdfxml
+
+    docs = spark.createDataFrame([(RDFXML_FULL_DOC,)], "xml string")
+    parsed = parse_rdfxml(docs)
+    return parsed.select(
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line")
+    )
+
+
 # Full-grammar TriG fixture (round-5): graph blocks with multi-line
 # statements, `;`/`,` lists, bnode property lists and collections INSIDE
 # blocks, the GRAPH keyword form, default-graph statements, a base-relative
@@ -2115,6 +2194,11 @@ ORACLES: dict[str, str] = {
         + ", ".join(f"('{ln}')" for ln in TTL_BNODE_EXPECTED)
         + ") t(line)"
     ),
+    "rdfxml_full_grammar_parse": (
+        "SELECT * FROM (VALUES "
+        + ", ".join(f"('{ln}')" for ln in RDFXML_FULL_EXPECTED)
+        + ") t(line)"
+    ),
     "trig_full_grammar_parse": (
         "SELECT * FROM (VALUES "
         + ", ".join(
@@ -2912,6 +2996,7 @@ SPARK_QUERIES = {
     "split_datasets": q_split_datasets,
     "split_datasets_bucketed": q_split_datasets_bucketed,
     "ttl_bnode_base_parse": q_ttl_bnode_base_parse,
+    "rdfxml_full_grammar_parse": q_rdfxml_full_grammar_parse,
     "jsonld_compact_parse": q_jsonld_compact_parse,
     "trig_full_grammar_parse": q_trig_full_grammar_parse,
     "dataset_counter": q_dataset_counter,

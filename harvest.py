@@ -186,9 +186,18 @@ def load_triples(spark, path: str, fmt: str, pre: bool, keep_malformed: bool):
             parse_rdfxml,
         )
 
+        # per-document base (input_file_name), same rule as the ttl path:
+        # relative rdf:about/rdf:resource and rdf:ID fragments resolve
+        # against the file's own address unless xml:base overrides
+        base = input_base_iri(path) if "://" not in path else path
         return parse_rdfxml(
-            docs.select(F.col("value").alias("xml")),
+            docs.select(
+                F.col("value").alias("xml"),
+                F.input_file_name().alias("_src"),
+            ),
             keep_malformed=keep_malformed,
+            base_iri=base,
+            base_iri_col="_src",
         )
     from bop_consus_importing_rdf_spark.sources.turtle_io import (
         parse_trig_docs,

@@ -64,11 +64,31 @@ def test_parse_golden():
 @pytest.mark.parametrize(
     "snippet,needle",
     [
-        ('<rdf:Description rdf:ID="frag"/>', "rdf:ID"),
+        # withdrawn 1999-era syntax: never mis-parse, always loud
         (
             '<rdf:Description rdf:about="u:1">'
-            '<d:p xmlns:d="u:" rdf:parseType="Resource"/></rdf:Description>',
-            "parseType",
+            '<d:p xmlns:d="u:" rdf:aboutEach="u:2">t</d:p></rdf:Description>',
+            "withdrawn",
+        ),
+        # statement reification via property-element rdf:ID
+        (
+            '<rdf:Description rdf:about="u:1">'
+            '<d:p xmlns:d="u:" rdf:ID="reif">t</d:p></rdf:Description>',
+            "reification",
+        ),
+        # rdf:ID needs a base to resolve its #fragment against
+        ('<rdf:Description rdf:ID="frag"/>', "no in-scope base"),
+        # relative rdf:about with no xml:base / base_iri
+        ('<rdf:Description rdf:about="rel/ative"/>', "no in-scope base"),
+        # a nodeID colliding with the synthesized anon-label prefix
+        (
+            '<rdf:Description rdf:nodeID="xgen-1-1"/>',
+            "collides",
+        ),
+        # at most one subject-naming attribute
+        (
+            '<rdf:Description rdf:about="u:1" rdf:nodeID="b"/>',
+            "at most one",
         ),
     ],
 )
@@ -79,6 +99,66 @@ def test_unsupported_subset_raises(snippet, needle):
     )
     with pytest.raises(ValueError, match=needle):
         _parse_doc(doc)
+
+
+# full-grammar fixture exercising every round-5 addition: rdf:ID + scoped
+# xml:base, rdf:li container expansion, parseType Resource / Collection /
+# Literal, property attributes on node and property elements, relative
+# rdf:resource/rdf:datatype resolution. The document lives in oracle.py
+# (it is also the `rdfxml_full_grammar_parse` contract fixture); here the
+# parse is checked tuple-by-tuple rather than as rendered lines.
+from bop_consus_importing_rdf_spark.oracle import (  # noqa: E402
+    RDFXML_FULL_DOC as FULL_GRAMMAR,
+)
+
+_RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_EX = "http://ex.org/v#"
+
+
+def test_parse_full_grammar():
+    from bop_consus_importing_rdf_spark.sources.turtle_io import doc_label_tag
+
+    tag = doc_label_tag(FULL_GRAMMAR)
+    b = [f"_:xgen-{tag}-{i}" for i in range(0, 7)]  # b[1]..b[6] in emit order
+    frag = "http://base.org/dir/page#frag"
+    rows = _parse_doc(FULL_GRAMMAR)
+    expected = [
+        # node-element property attribute, inherited xml:lang
+        (frag, _EX + "title", "Hello", "literal", "en", None),
+        # relative rdf:resource vs xml:base + object property attribute
+        (frag, _EX + "knows", "http://base.org/dir/other", "iri", None, None),
+        ("http://base.org/dir/other", _EX + "note", "attached", "literal",
+         "en", None),
+        # rdf:li expansion on the anonymous typed Bag node
+        (b[1], _RDF + "type", _RDF + "Bag", "iri", None, None),
+        (b[1], _RDF + "_1", "one", "literal", "en", None),
+        (b[1], _RDF + "_2", "http://base.org/dir/two", "iri", None, None),
+        (frag, _EX + "bag", b[1], "bnode", None, None),
+        # parseType=Resource: implicit bnode, datatype suppresses lang
+        (frag, _EX + "addr", b[2], "bnode", None, None),
+        (b[2], _EX + "city", "Berlin", "literal", "en", None),
+        (b[2], _EX + "zip", "10", "literal", None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+        # parseType=Collection: rdf:first/rest chain, built tail-first
+        (b[3], _RDF + "rest", _RDF + "nil", "iri", None, None),
+        (b[3], _RDF + "first", "urn:abs:b", "iri", None, None),
+        (b[4], _RDF + "rest", b[3], "bnode", None, None),
+        (b[4], _RDF + "first", "http://base.org/dir/a", "iri", None, None),
+        (frag, _EX + "list", b[4], "bnode", None, None),
+        # parseType=Literal: inner XML as rdf:XMLLiteral lexical form
+        (frag, _EX + "xml", 'pre<b attr="v">bold</b>post', "literal", None,
+         _RDF + "XMLLiteral"),
+        # empty property element with property attributes → fresh bnode
+        (frag, _EX + "card", b[5], "bnode", None, None),
+        (b[5], _EX + "name", "Ada", "literal", "en", None),
+        (b[5], _EX + "mail", "a@b.c", "literal", "en", None),
+        # element-scoped xml:base override + typed node element
+        ("http://other.org/root", _RDF + "type", _EX + "Thing", "iri",
+         None, None),
+        ("http://other.org/root", _EX + "rel", "http://other.org/z", "iri",
+         None, None),
+    ]
+    assert sorted(map(tuple, rows)) == sorted(expected)
 
 
 def test_keep_malformed_emits_reject_row(spark):
