@@ -546,6 +546,46 @@ def q_ttl_bnode_base_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# JSON-LD named-graph fixture (round-5 tail): a default-graph node, an
+# IRI-named graph whose OWN property stays in the default graph (a
+# statement about the graph name), an anonymous node inside that graph,
+# and a blank-labeled graph (node object with only @graph). JSON-LD 1.0
+# §9 named graphs → RDF datasets; aligned with parse_trig/parse_nquads.
+JSONLD_GRAPH_DOC = (
+    '{"@context": {"ex": "urn:ex:"}, "@graph": ['
+    '{"@id": "ex:top", "ex:p": "default"},'
+    '{"@id": "ex:g1", "ex:label": "graph one", "@graph": ['
+    '{"@id": "ex:a", "ex:p": {"@id": "ex:b"}},'
+    ' {"ex:inner": "anon"}]},'
+    '{"@graph": [{"@id": "ex:c", "ex:q": 7}]}]}'
+)
+_JG_TAG = _doc_label_tag(JSONLD_GRAPH_DOC)
+JSONLD_GRAPH_EXPECTED = [
+    (None, '<urn:ex:top> <urn:ex:p> "default" .'),
+    (None, '<urn:ex:g1> <urn:ex:label> "graph one" .'),
+    ("urn:ex:g1", "<urn:ex:a> <urn:ex:p> <urn:ex:b> ."),
+    ("urn:ex:g1", f'_:jgen-{_JG_TAG}-1 <urn:ex:inner> "anon" .'),
+    (f"_:jgen-{_JG_TAG}-2",
+     f'<urn:ex:c> <urn:ex:q> "7"^^<{_XSD}integer> .'),
+]
+
+
+def q_jsonld_named_graph_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the named-graph JSON-LD fixture via the quad entry point;
+    oracle = hand-derived (graph, line) rows."""
+    from .sources.jsonld_io import parse_jsonld_quads
+
+    docs = spark.createDataFrame([(JSONLD_GRAPH_DOC,)], "jsonld string")
+    parsed = parse_jsonld_quads(docs)
+    return parsed.select(
+        "graph",
+        nt_line(
+            F.col("subj"), F.col("pred"), F.col("obj_value"),
+            F.col("obj_kind"), F.col("obj_lang"), F.col("obj_datatype"),
+        ).alias("line"),
+    )
+
+
 # Full-grammar RDF/XML fixture (round-5 tail): rdf:ID + scoped xml:base
 # (element-level override), rdf:li container expansion, rdf:parseType
 # Resource / Collection / Literal, property attributes on node and
@@ -2199,6 +2239,15 @@ ORACLES: dict[str, str] = {
         + ", ".join(f"('{ln}')" for ln in RDFXML_FULL_EXPECTED)
         + ") t(line)"
     ),
+    "jsonld_named_graph_parse": (
+        "SELECT * FROM (VALUES "
+        + ", ".join(
+            ("(CAST(NULL AS VARCHAR), " if g is None else f"('{g}', ")
+            + f"'{ln}')"
+            for g, ln in JSONLD_GRAPH_EXPECTED
+        )
+        + ") t(graph, line)"
+    ),
     "trig_full_grammar_parse": (
         "SELECT * FROM (VALUES "
         + ", ".join(
@@ -2997,6 +3046,7 @@ SPARK_QUERIES = {
     "split_datasets_bucketed": q_split_datasets_bucketed,
     "ttl_bnode_base_parse": q_ttl_bnode_base_parse,
     "rdfxml_full_grammar_parse": q_rdfxml_full_grammar_parse,
+    "jsonld_named_graph_parse": q_jsonld_named_graph_parse,
     "jsonld_compact_parse": q_jsonld_compact_parse,
     "trig_full_grammar_parse": q_trig_full_grammar_parse,
     "dataset_counter": q_dataset_counter,

@@ -332,12 +332,25 @@ def _parse_context(val, ctx: _Ctx) -> _Ctx:
 
 
 class _DocState:
-    __slots__ = ("tag", "n", "out")
+    __slots__ = ("tag", "n", "out", "graph")
 
     def __init__(self, tag: str):
         self.tag = tag
         self.n = 0
+        #: rows are (graph, subj, pred, obj_value, obj_kind, obj_lang,
+        #: obj_datatype); graph None = default graph. The current graph is
+        #: stateful across the recursive expansion — a node object carrying
+        #: ``@graph`` switches it for its graph content (JSON-LD 1.0 named
+        #: graphs → RDF datasets; graph names do not nest in the output,
+        #: matching the flat dataset model).
         self.out: list[tuple] = []
+        self.graph: str | None = None
+
+    def emit(self, subj, pred, obj_value, obj_kind, obj_lang, obj_datatype):
+        self.out.append(
+            (self.graph, subj, pred, obj_value, obj_kind, obj_lang,
+             obj_datatype)
+        )
 
     def bnode(self) -> str:
         self.n += 1
@@ -382,15 +395,12 @@ def _object_of(v, tdef, ctx: _Ctx, st: _DocState):
             head = st.bnode()
             node = head
             for i, (ov, ok, ol, od) in enumerate(items):
-                st.out.append((node, _RDF_NS + "first", ov, ok, ol, od))
+                st.emit(node, _RDF_NS + "first", ov, ok, ol, od)
                 nxt = st.bnode() if i < len(items) - 1 else _RDF_NS + "nil"
                 kind = "bnode" if nxt.startswith("_:") else "iri"
-                st.out.append((node, _RDF_NS + "rest", nxt, kind, None, None))
+                st.emit(node, _RDF_NS + "rest", nxt, kind, None, None)
                 node = nxt
             return (head, "bnode", None, None)
-        if "@graph" in keys:
-            raise ValueError("named graphs inside node objects are quads — "
-                             "not representable in the triple schema")
         nid = _expand_node(v, ctx, st)
         return (nid, "bnode" if nid.startswith("_:") else "iri", None, None)
     if isinstance(v, str):
@@ -453,18 +463,24 @@ def _expand_node(obj: dict, ctx: _Ctx, st: _DocState) -> str:
         nid = _ctx_expand_iri(nid, ctx, vocab=False)
     else:
         nid = st.bnode()
+    graph_content = None
     for key, val in obj.items():
         kw = ctx.aliases.get(key, key)
         if kw in ("@id", "@context", "@index"):
+            continue
+        if kw == "@graph":
+            # JSON-LD 1.0 named graph: this node's id NAMES the graph; the
+            # node's OWN properties stay in the enclosing graph. Content
+            # expanded after the property loop so emission order mirrors
+            # the document.
+            graph_content = _as_list(val)
             continue
         if kw == "@type":
             for t in _as_list(val):
                 tiri = _ctx_expand_iri(t, ctx, vocab=True)
                 if tiri is None:
                     continue
-                st.out.append(
-                    (nid, _RDF_NS + "type", tiri, "iri", None, None)
-                )
+                st.emit(nid, _RDF_NS + "type", tiri, "iri", None, None)
             continue
         if kw.startswith("@"):
             raise ValueError(f"unsupported keyword {kw!r} in node object")
@@ -477,12 +493,22 @@ def _expand_node(obj: dict, ctx: _Ctx, st: _DocState) -> str:
             if o is None:
                 continue
             ov, okind, olang, odt = o
-            st.out.append((nid, pred, ov, okind, olang, odt))
+            st.emit(nid, pred, ov, okind, olang, odt)
+    if graph_content is not None:
+        outer = st.graph
+        st.graph = nid
+        for node in graph_content:
+            if not isinstance(node, dict):
+                raise ValueError("@graph entries must be node objects")
+            _expand_node(node, ctx, st)
+        st.graph = outer
     return nid
 
 
 def _expand_jsonld_doc(text: str, base_iri: str | None) -> list[tuple]:
-    """Compact / expanded JSON-LD document → statement tuples.
+    """Compact / expanded JSON-LD document → ``(graph, subj, pred,
+    obj_value, obj_kind, obj_lang, obj_datatype)`` tuples (graph None =
+    default graph).
 
     Supported subset (everything else raises, landing the document in
     the malformed bucket with the error text — the loud-failure policy):
@@ -494,9 +520,11 @@ def _expand_jsonld_doc(text: str, base_iri: str | None) -> list[tuple]:
     ``_:jgen-<md5-10>-<n>`` labels, same discipline as Turtle's
     ``_:tgen``), ``@list`` (rdf:first/rest chains), value objects,
     JSON scalars (xsd:integer / xsd:boolean / canonical xsd:double),
-    top-level ``@graph`` arrays (default graph only). Loud failures:
-    remote contexts, named graphs in node objects, ``@reverse`` and
-    other unsupported keywords. Cites reference S5: Jena consumes full
+    top-level ``@graph`` arrays (default graph), and NAMED graphs —
+    node objects carrying ``@graph`` (JSON-LD 1.0 → RDF datasets; the
+    triple-schema entry point rejects those, the quad entry point keeps
+    the label). Loud failures: remote contexts, ``@reverse`` and other
+    unsupported keywords. Cites reference S5: Jena consumes full
     JSON-LD at Flows.kt:66-77; this covers the self-contained-document
     subset a hermetic batch parser can honor without network fetches.
     """
@@ -517,11 +545,20 @@ def _expand_jsonld_doc(text: str, base_iri: str | None) -> list[tuple]:
                 if ctx.aliases.get(k, k) not in ("@context", "@graph")
             }
             if extra:
-                raise ValueError(
-                    f"top-level @graph with sibling keys {sorted(extra)} "
-                    "would be a named graph (quads)"
-                )
-            nodes = _as_list(_alias_get(data, "@graph", ctx))
+                # §9 named graphs: a root object with @graph AND its own
+                # keys is a node object naming a graph — expand it as one
+                # (its @id names the graph; its other properties are
+                # default-graph statements about that name). @context is
+                # stripped: it was parsed above, and re-parsing a context
+                # whose terms reference their own prefixes is not
+                # idempotent.
+                nodes = [{
+                    k: v for k, v in data.items()
+                    if k != "@context" and ctx.aliases.get(k) != "@context"
+                }]
+            else:
+                # root object that is ONLY a @graph wrapper = default graph
+                nodes = _as_list(_alias_get(data, "@graph", ctx))
         else:
             nodes = [data]
     elif isinstance(data, list):
@@ -535,6 +572,67 @@ def _expand_jsonld_doc(text: str, base_iri: str | None) -> list[tuple]:
     return st.out
 
 
+def _parse_jsonld(
+    docs: DataFrame,
+    jsonld_col: str,
+    carry_cols: tuple[str, ...],
+    keep_malformed: bool,
+    base_iri: str | None,
+    base_iri_col: str | None,
+    with_graph: bool,
+) -> DataFrame:
+    from collections.abc import Iterator
+
+    carry = list(carry_cols)
+    stmt_cols = [
+        "subj", "pred", "obj_value", "obj_kind", "obj_lang", "obj_datatype"
+    ]
+    schema = PARSED_SCHEMA
+    if with_graph:
+        schema = "graph string, " + schema
+        stmt_cols = ["graph"] + stmt_cols
+    for c in carry:
+        schema = f"{c} string, " + schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = carry + stmt_cols
+        n_nulls = len(stmt_cols) - 4
+        for pdf in it:
+            out: list[tuple] = []
+            for _, row in pdf.iterrows():
+                prefix = tuple(row[c] for c in carry)
+                base = base_iri
+                if base_iri_col is not None and row[base_iri_col]:
+                    base = row[base_iri_col]
+                try:
+                    parsed = _expand_jsonld_doc(row[jsonld_col], base)
+                    if not with_graph and any(
+                        r[0] is not None for r in parsed
+                    ):
+                        raise ValueError(
+                            "document contains named graphs (quads) — "
+                            "parse with parse_jsonld_quads, the triple "
+                            "schema cannot hold a graph label"
+                        )
+                except (ValueError, KeyError, TypeError,
+                        json.JSONDecodeError) as e:
+                    if not keep_malformed:
+                        raise
+                    out.append(
+                        prefix
+                        + (None,) * n_nulls
+                        + (f"{type(e).__name__}: {e}", None, None, None)
+                    )
+                    continue
+                if with_graph:
+                    out.extend(prefix + r for r in parsed)
+                else:
+                    out.extend(prefix + r[1:] for r in parsed)
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.mapInPandas(batches, schema)
+
+
 def parse_jsonld_docs(
     docs: DataFrame,
     jsonld_col: str = "jsonld",
@@ -543,7 +641,7 @@ def parse_jsonld_docs(
     base_iri: str | None = None,
     base_iri_col: str | None = None,
 ) -> DataFrame:
-    """Whole compact-form JSON-LD documents → statement rows.
+    """Whole compact-form JSON-LD documents → statement rows (triples).
 
     Same document-level mapInPandas architecture as
     ``functions/rdfxml.parse_rdfxml`` (whole-document formats parallelize
@@ -555,38 +653,38 @@ def parse_jsonld_docs(
     with a directory input a single path-derived base would mis-resolve
     every file's relative IRIs (the turtle_io per-file-base rule);
     a non-empty per-row value overrides ``base_iri``.
+
+    A document carrying NAMED graphs is not representable in the triple
+    schema and lands in the reject bucket (or raises) — parse those with
+    :func:`parse_jsonld_quads`, which emits the ``graph`` column.
     """
-    from collections.abc import Iterator
+    return _parse_jsonld(
+        docs, jsonld_col, carry_cols, keep_malformed, base_iri,
+        base_iri_col, with_graph=False,
+    )
 
-    carry = list(carry_cols)
-    schema = PARSED_SCHEMA
-    for c in carry:
-        schema = f"{c} string, " + schema
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = carry + [
-            "subj", "pred", "obj_value", "obj_kind", "obj_lang",
-            "obj_datatype",
-        ]
-        for pdf in it:
-            out: list[tuple] = []
-            for _, row in pdf.iterrows():
-                prefix = tuple(row[c] for c in carry)
-                base = base_iri
-                if base_iri_col is not None and row[base_iri_col]:
-                    base = row[base_iri_col]
-                try:
-                    parsed = _expand_jsonld_doc(row[jsonld_col], base)
-                except (ValueError, KeyError, TypeError,
-                        json.JSONDecodeError) as e:
-                    if not keep_malformed:
-                        raise
-                    out.append(
-                        prefix + (None, None, f"{type(e).__name__}: {e}",
-                                  None, None, None)
-                    )
-                    continue
-                out.extend(prefix + r for r in parsed)
-            yield pd.DataFrame(out, columns=cols)
+def parse_jsonld_quads(
+    docs: DataFrame,
+    jsonld_col: str = "jsonld",
+    carry_cols: tuple[str, ...] = (),
+    keep_malformed: bool = False,
+    base_iri: str | None = None,
+    base_iri_col: str | None = None,
+) -> DataFrame:
+    """Whole JSON-LD documents → quad rows: ``graph`` (NULL = default
+    graph) + the statement columns — the JSON-LD 1.0 named-graph mapping
+    to RDF datasets, aligned with ``parse_trig``/``parse_nquads``:
 
-    return docs.mapInPandas(batches, schema)
+    - a node object carrying ``@graph`` names a graph with its ``@id``
+      (fresh doc-scoped blank label when absent); its OTHER properties
+      stay in the enclosing graph as statements about the graph name;
+    - a root object that is only a ``@context``/``@graph`` wrapper is the
+      default graph (no name is minted);
+    - graph content nested in object position works the same way (the
+      node id is both the object and the graph name).
+    """
+    return _parse_jsonld(
+        docs, jsonld_col, carry_cols, keep_malformed, base_iri,
+        base_iri_col, with_graph=True,
+    )

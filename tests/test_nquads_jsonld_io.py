@@ -168,8 +168,11 @@ def test_jsonld_docs_loud_failures_and_reject_rows(spark):
         '{"@context": "http://remote.example/ctx", "@id": "urn:a"}',
         # @reverse
         '{"@id": "urn:a", "@reverse": {"urn:p": {"@id": "urn:b"}}}',
-        # named graph inside a node object
-        '{"@id": "urn:g", "@graph": [{"@id": "urn:a"}], "urn:p": "x"}',
+        # named graph with content — actual quads the triple schema
+        # cannot hold (content-free @graph wrappers are accepted: they
+        # produce no quad rows)
+        '{"@id": "urn:g", "@graph": [{"@id": "urn:a", "urn:q": "y"}], '
+        '"urn:p": "x"}',
         # relative @id with no base anywhere
         '{"@id": "thing", "urn:p": "x"}',
         # not JSON at all
@@ -240,3 +243,43 @@ def test_jsonld_docs_context_edges(spark):
         ("urn:s", "urn:ex:keep", "a", "literal", None, None),
         ("urn:s", "urn:ex:keep", "b", "literal", None, None),
     }
+
+
+def test_jsonld_quads_named_graphs(spark):
+    from bop_consus_importing_rdf_spark.oracle import (
+        JSONLD_GRAPH_DOC,
+        JSONLD_GRAPH_EXPECTED,
+    )
+    from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+        parse_jsonld_quads,
+    )
+    from bop_consus_importing_rdf_spark.sources.turtle_io import (
+        doc_label_tag,
+    )
+
+    tag = doc_label_tag(JSONLD_GRAPH_DOC)
+    df = spark.createDataFrame([(JSONLD_GRAPH_DOC,)], "jsonld string")
+    rows = parse_jsonld_quads(df).collect()
+    got = {
+        (r.graph, r.subj, r.pred, r.obj_value, r.obj_kind)
+        for r in rows
+    }
+    # the graph node's OWN property lands in the DEFAULT graph (a
+    # statement about the graph name), its @graph content in the named
+    # graph; a node object with only @graph gets a blank graph label
+    assert (None, "urn:ex:g1", "urn:ex:label", "graph one", "literal") in got
+    assert ("urn:ex:g1", "urn:ex:a", "urn:ex:p", "urn:ex:b", "iri") in got
+    assert (
+        "urn:ex:g1", f"_:jgen-{tag}-1", "urn:ex:inner", "anon", "literal"
+    ) in got
+    assert (f"_:jgen-{tag}-2", "urn:ex:c", "urn:ex:q", "7", "literal") in got
+    assert len(rows) == len(JSONLD_GRAPH_EXPECTED)
+    # the triple entry point rejects the same document loudly
+    import pytest
+
+    from bop_consus_importing_rdf_spark.sources.jsonld_io import (
+        parse_jsonld_docs,
+    )
+
+    with pytest.raises(Exception, match="quads"):
+        parse_jsonld_docs(df).collect()
