@@ -206,6 +206,128 @@ def reassemble_lines_aggs(delim: str) -> list[Column]:
 
 
 # ---------------------------------------------------------------------------
+# duplicated-substring removal (ExactSubstr-style)
+# ---------------------------------------------------------------------------
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 20,
+) -> DataFrame:
+    """Remove duplicated substrings from every document (token-level
+    ExactSubstr, Lee et al., *Deduplicating Training Data Makes Language
+    Models Better*, ACL 2022, §4.1).
+
+    The paper finds all substrings ≥50 tokens that occur more than once
+    in the corpus (suffix array) and removes EVERY occurrence. This is
+    the token-window formulation of the same contract: a ``window``-token
+    gram occurring >1 time anywhere in the corpus (across documents OR
+    repeated within one) marks its token span duplicated; the union of
+    marked spans is cut from each document and the survivors are
+    re-joined in order. Any duplicated run of ≥ ``window`` tokens is
+    covered exactly (every window inside it repeats); runs shorter than
+    ``window`` are kept — the paper's length threshold, expressed as the
+    window size. Tokenization is the corpus convention (``trim`` +
+    whitespace split, see ``textstats``), so reassembly normalizes
+    whitespace runs to single spaces.
+
+    Returns one row per input document:
+    ``(id, clean_text, n_tokens, n_removed)`` — fully-duplicated
+    documents survive with ``clean_text = ''`` (callers drop/audit them;
+    unlike :func:`line_dedup` nothing silently vanishes).
+
+    Scale shape: the corpus is scanned twice (gram stream, token stream)
+    and never driver-collected. The duplicated-gram set is ONE
+    map-side-combinable ``groupBy(md5(gram))`` — the pathological
+    boilerplate gram repeated 10⁹ times collapses in the combiners —
+    followed by a semi join back on the 32-byte hash (AQE handles the
+    hot-hash skew). Coverage is LINEAR: duplicated starts equi-join the
+    token stream on ``(id, pos)`` and a per-document running
+    ``max(start)`` over the previous ``window`` rows decides each token
+    (a start within the last ``window`` positions covers it) — the
+    first-cut spelling exploded each start into ``window`` covered
+    positions and anti-joined, and the 1M-doc probe killed it: Catalyst
+    planned the 712M-row exploded side as the anti join's BROADCAST
+    build (explodes defeat size estimation) and died on the broadcast
+    row cap; the ×window integer fan-out was also a needless 20× stream.
+    The window partitions by document (bounded) and its sort is reused
+    by the reassembly groupBy. The token array is materialized in its
+    own projection before the gram ``transform`` (the
+    :func:`word_ngrams` O(tokens²) Catalyst-substitution trap).
+    """
+    from pyspark.sql import Window
+
+    from .parallelism import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df, multiplier=50)
+    t = F.col("_toks")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(
+            F.trim(F.col(text_col)) == "", F.array().cast("array<string>")
+        ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_toks"),
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.when(
+                F.size(t) >= window,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (window - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, window))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("p0", "h"),
+    ).select("id", (F.col("p0") + 1).alias("start"), "h")
+    dup = (
+        grams.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("h")
+    )
+    # (id, start) is unique (one gram per position) — no distinct needed
+    starts = grams.join(dup, "h", "left_semi").select(
+        "id", F.col("start").alias("pos"), F.lit(True).alias("_dup")
+    )
+    tok_rows = base.select(
+        "id", F.posexplode(t).alias("p0", "tok")
+    ).select("id", (F.col("p0") + 1).alias("pos"), "tok")
+    # positions are dense per document, so a ROWS frame of the previous
+    # window-1 rows is exactly the positions (pos-window, pos]
+    w = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(-(window - 1), 0)
+    )
+    marked = tok_rows.join(starts, ["id", "pos"], "left").withColumn(
+        "_covered",
+        F.max(F.when(F.col("_dup"), F.col("pos"))).over(w).isNotNull(),
+    )
+    kept = marked.filter(~F.col("_covered"))
+    reasm = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("id", F.size(t).alias("n_tokens"))
+        .join(reasm, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 

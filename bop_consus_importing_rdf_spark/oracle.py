@@ -1173,6 +1173,21 @@ def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level ExactSubstr (Lee et al. 2022): cut every occurrence of
+    any 12-token window that repeats anywhere in the corpus. W=12 on the
+    fixture corpus touches ~45/500 docs (the near-dup clones share long
+    runs; byte-identical pairs empty out entirely) — small enough to keep
+    survivors, large enough to exercise coverage merging."""
+    from .operators.dedup import substring_dedup
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(docs, "doc_id", "text", window=12).select(
+        F.col("id").alias("doc_id"), "clean_text", "n_tokens", "n_removed"
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import tfidf_topk
     from .sources.catalog import load_table
@@ -2435,6 +2450,33 @@ ORACLES: dict[str, str] = {
         "  max(n_lines) AS n_lines, count(*) AS n_kept "
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
+    "substring_dedup": (
+        # token-window ExactSubstr: same trim+\s+ tokens, same md5 gram
+        # hashes, coverage union via a W-wide position explode, anti join,
+        # ordered reassembly (W = 12, matching the Spark side)
+        "WITH toks AS (SELECT doc_id AS id, "
+        "  CASE WHEN trim(text) = '' THEN [] "
+        r"  ELSE string_split_regex(trim(text), '\s+') END AS t "
+        "  FROM documents), "
+        "grams AS (SELECT id, i AS start, "
+        "  md5(array_to_string(t[i:i+11], ' ')) AS h "
+        "  FROM toks, LATERAL (SELECT unnest(generate_series(1, "
+        "    len(t)-12+1)) AS i) g WHERE len(t) >= 12), "
+        "dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) > 1), "
+        "starts AS (SELECT id, start FROM grams SEMI JOIN dup USING (h)), "
+        "covered AS (SELECT DISTINCT id, start + k AS pos FROM starts, "
+        "  LATERAL (SELECT unnest(generate_series(0, 11)) AS k) g), "
+        "tok_rows AS (SELECT id, i AS pos, t[i] AS tok FROM toks, "
+        "  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g), "
+        "kept AS (SELECT tok_rows.* FROM tok_rows "
+        "  ANTI JOIN covered USING (id, pos)), "
+        "reasm AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) "
+        "  AS clean_text, count(*) AS n_kept FROM kept GROUP BY id) "
+        "SELECT toks.id AS doc_id, coalesce(clean_text, '') AS clean_text, "
+        "cast(len(t) AS bigint) AS n_tokens, "
+        "cast(len(t) - coalesce(n_kept, 0) AS bigint) AS n_removed "
+        "FROM toks LEFT JOIN reasm ON toks.id = reasm.id"
+    ),
     "tfidf_keywords": (
         # same integer-quantized idf: the double ln is the one shared
         # evaluation, everything after it is BIGINT (dsir discipline)
@@ -3065,6 +3107,7 @@ SPARK_QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "graph_pagerank": q_graph_pagerank,
     "line_dedup_docs": q_line_dedup_docs,
+    "substring_dedup": q_substring_dedup,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,

@@ -145,6 +145,17 @@ COMMENTARY = {
         "window), then one per-document reassembly groupBy. 12.4s at 1M "
         "docs / 16.2M lines (fresh JVM, local[32]), 67% of lines deduped."
     ),
+    "substring_dedup": (
+        "Token-window ExactSubstr: duplicated-gram set via ONE map-side-"
+        "combinable groupBy(md5(gram)) + semi join back on the hash; "
+        "coverage is an (id, pos) equi-join of duplicated starts into the "
+        "token stream + a per-document running-max window over the "
+        "previous W rows (linear — the explode+anti-join spelling made a "
+        "712M-row stream Catalyst chose as a broadcast build and died; "
+        "see BENCH/BASELINE.md). Window sort is reused by the reassembly "
+        "groupBy. 56.1s at 1M docs / 54.1M tokens (realistic 10%-dup "
+        "mix); 75.8s on the all-duplicated pathological corpus."
+    ),
     "graph_pagerank": (
         "Integer-quantized PageRank, 5 iterations: each iteration is the "
         "MapReduce floor — one join of the checkpointed (src, dst, deg) "

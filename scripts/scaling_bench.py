@@ -371,6 +371,19 @@ ROUND5_MD = """
     keep-first winner is a map-side-combinable min-struct groupBy, so
     the 67%-duplicate line stream collapses in the combiners (5.3M of
     16.2M lines survive; 846k docs keep >=1 line). No spill.
+  - `substring_dedup` (token-window ExactSubstr, W=20) at 1M docs /
+    54.1M tokens (fresh JVM, local[32]): realistic mix (10% of docs in
+    10x duplicate families, rest salted-unique) **56.1s (17.8k docs/s,
+    9.0M tokens removed)**; pathological all-duplicated corpus (every
+    doc 10x-replicated, 97% of tokens removed) **75.8s** with no spill.
+    The probe KILLED the first-cut coverage spelling: exploding each
+    duplicated start into W covered positions made a 712M-row stream
+    that Catalyst picked as the anti join's BROADCAST build (explodes
+    defeat size estimation) and died on the broadcast row cap — the
+    shipped plan joins starts to the token stream on (id, pos) and
+    decides coverage with a per-document running max over the previous
+    W rows: linear, no fan-out, window sort reused by the reassembly
+    groupBy.
   - `graph_pagerank` at the sf1 fixture graph (1.88M distinct edges,
     1.67M nodes, 5 iterations, fresh JVM, local[32]): **12.8s**
     end-to-end including adjacency/node-set materialization (~2.2s per

@@ -332,3 +332,77 @@ def test_lsh_match_index_hot_bucket_cap(spark):
     assert capped.count() == 0  # bucket of 30 band rows > cap -> skipped
     uncapped = lsh_match_index(new, idx, k=8, max_bucket=None)
     assert uncapped.count() == 10 * 20
+
+
+def _py_substring_dedup(rows, window):
+    """Independent reference: token-window ExactSubstr over (id, text)."""
+    toks = {i: t.split() for i, t in rows}
+    from collections import Counter
+
+    counts = Counter()
+    for ts in toks.values():
+        for j in range(len(ts) - window + 1):
+            counts[" ".join(ts[j:j + window])] += 1
+    out = {}
+    for i, ts in toks.items():
+        covered = set()
+        for j in range(len(ts) - window + 1):
+            if counts[" ".join(ts[j:j + window])] > 1:
+                covered.update(range(j, j + window))
+        kept = [t for j, t in enumerate(ts) if j not in covered]
+        out[i] = (" ".join(kept), len(ts), len(ts) - len(kept))
+    return out
+
+
+def test_substring_dedup_hand_cases(spark):
+    from bop_consus_importing_rdf_spark.operators.dedup import substring_dedup
+
+    rows = [
+        ("a", "one two three four five six seven eight alpha beta"),
+        # shares the 8-token run one..eight with doc a
+        ("b", "zero one two three four five six seven eight gamma"),
+        ("c", "totally unique words here nothing repeats at all ok"),
+        # WITHIN-document repetition is duplication too (the paper counts
+        # occurrences, not documents)
+        ("d", "rep rep rep rep rep rep rep rep rep rep rep rep"),
+        ("e", "   "),  # whitespace-only → zero tokens, survives as ''
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_dedup(df, window=8).collect()
+    }
+    assert got == {
+        "a": ("alpha beta", 10, 8),
+        "b": ("zero gamma", 10, 8),
+        "c": ("totally unique words here nothing repeats at all ok", 9, 0),
+        "d": ("", 12, 12),  # fully duplicated docs survive with empty text
+        "e": ("", 0, 0),
+    }
+
+
+@_pytest.mark.parametrize("seed,n_part", [(5, 1), (13, 7), (99, 32)])
+def test_substring_dedup_randomized_vs_reference(spark, seed, n_part):
+    # seeded word soup with heavy window collisions (tiny vocab, short
+    # window); partition invariance: coverage is corpus-defined, never
+    # arrival-order-defined
+    import random
+
+    from bop_consus_importing_rdf_spark.operators.dedup import substring_dedup
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(4)]
+    window = 3
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 14))).strip())
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in rows], "id long, text string"
+    ).repartition(n_part)
+    got = {
+        r["id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in substring_dedup(df, "id", "text", window=window).collect()
+    }
+    ref_rows = [(i, t) for i, t in rows]
+    assert got == _py_substring_dedup(ref_rows, window)
