@@ -114,6 +114,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     delim: str = "\n",
+    normalize=None,
 ) -> DataFrame:
     """Corpus-global line/paragraph-level exact dedup, keep-first.
 
@@ -128,10 +129,11 @@ def line_dedup(
 
     Keep-first is defined on ``(id, pos)``: the instance with the
     lexicographically smallest (document id, line position) survives.
-    CCNet normalizes lines (lowercase, digits→0) before hashing; pass a
-    pre-normalized column if that behavior is wanted — the operator
-    hashes the line verbatim so the surviving text is exactly the input
-    text.
+    ``normalize`` (a ``Column → Column`` function, e.g.
+    ``textstats.ccnet_normalize``) is applied to each line BEFORE hashing
+    only — CCNet's actual discipline: typographically-divergent copies of
+    the same boilerplate collide, while the surviving text stays the
+    verbatim input. ``None`` hashes the line as-is.
 
     Returns one row per document that keeps ≥1 line:
     ``(id, text, n_lines, n_kept)`` — original line count vs survivors.
@@ -155,10 +157,11 @@ def line_dedup(
     # the explode fans each doc into ~n_lines rows; modest vs shingling
     df = ensure_min_parallelism(df, multiplier=8)
     lines = exploded_lines(df, id_col, text_col, delim)
+    key = F.col("line") if normalize is None else normalize(F.col("line"))
     # min(struct) — (id, pos) is unique, so the trailing fields never
     # tie-break; they just ride along to avoid a join back to the stream
     kept = (
-        lines.groupBy(F.md5(F.col("line")).alias("_h"))
+        lines.groupBy(F.md5(key).alias("_h"))
         .agg(F.min(F.struct("id", "pos", "line", "n_lines")).alias("_k"))
         .select("_k.id", "_k.pos", "_k.line", "_k.n_lines")
     )

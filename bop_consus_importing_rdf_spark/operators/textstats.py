@@ -26,6 +26,30 @@ LANG_MARKERS: dict[str, list[str]] = {
 # BPE-ish token pattern: letter runs | digit runs | single non-space symbol
 BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
+#: unicode punctuation → ASCII fold used by :func:`ccnet_normalize`
+#: (curly quotes, guillemets, dashes, ellipsis, NBSP). ``F.translate`` /
+#: DuckDB ``translate`` share per-codepoint semantics, so the fold is
+#: engine-exact by construction.
+CCNET_PUNCT_FROM = "\u201c\u201d\u2018\u2019\u00ab\u00bb\u2013\u2014\u2026\u00a0"
+CCNET_PUNCT_TO = "\"\"''\"\"--. "
+
+
+def ccnet_normalize(text: Column) -> Column:
+    """CCNet-style text normalization (Wenzek et al., LREC 2020 §4.2):
+    lowercase, every digit → ``0``, unicode punctuation folded to ASCII,
+    whitespace runs collapsed, trimmed. CCNet applies this before hashing
+    lines for dedup so near-identical boilerplate (dates, counters,
+    typographic quotes) collides — the surviving TEXT stays verbatim;
+    only the hash sees the normalized form (see :func:`~.dedup.line_dedup`
+    ``normalize=``). Accent stripping (CCNet's optional unidecode pass)
+    is out of scope: no engine-exact twin exists across Spark/DuckDB.
+    """
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[0-9]", "0")
+    t = F.translate(t, CCNET_PUNCT_FROM, CCNET_PUNCT_TO)
+    t = F.regexp_replace(t, r"\s+", " ")
+    return F.trim(t)
+
 
 def _marker_hits(text: Column, words: list[str]) -> Column:
     """Occurrences of any marker word, via padded substring counts."""

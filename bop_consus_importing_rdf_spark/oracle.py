@@ -39,7 +39,12 @@ from .functions.formats import (
 from .functions.identify import sql_identify
 from .functions.ntriples import nt_line, sql_nt_line
 from .sources.turtle_io import doc_label_tag as _doc_label_tag
-from .operators.textstats import BPE_TOKEN_PATTERN, LANG_MARKERS
+from .operators.textstats import (
+    BPE_TOKEN_PATTERN,
+    CCNET_PUNCT_FROM,
+    CCNET_PUNCT_TO,
+    LANG_MARKERS,
+)
 from .sources.catalog import register_views
 from .vocab import (
     DCAT_CATALOG,
@@ -1188,6 +1193,34 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet line dedup with normalization-keyed hashing: the fixture is
+    3-word-chunked as in ``line_dedup_docs``, then ODD docs are uppercased
+    and every doc gains a trailer line whose digits and curly quotes
+    differ by parity — verbatim hashing would keep both variants;
+    ``ccnet_normalize`` (lower, digits→0, punct fold, ws collapse) makes
+    them collide, so keep-first fires across the case/typography noise
+    while the SURVIVING text stays verbatim (odd docs stay uppercase)."""
+    from .operators.dedup import line_dedup
+    from .operators.textstats import ccnet_normalize
+    from .sources.catalog import load_table
+
+    chunked = F.regexp_replace(F.col("text"), r"((\S+ ){2}\S+) ", "$1\n")
+    odd = F.col("doc_id") % 2 == 1
+    noised = F.concat(
+        F.when(odd, F.upper(chunked)).otherwise(chunked),
+        F.lit("\n"),
+        F.when(odd, F.lit("build 2024 “ok”"))
+        .otherwise(F.lit("build 1999 ”ok“")),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", noised.alias("text")
+    )
+    return line_dedup(docs, "doc_id", "text", normalize=ccnet_normalize).select(
+        F.col("id").alias("doc_id"), "text", "n_lines", "n_kept"
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import tfidf_topk
     from .sources.catalog import load_table
@@ -2157,6 +2190,11 @@ _REPETITION_CTES = (
     "FROM a GROUP BY id)"
 )
 
+# the CCNet punct fold as quoted SQL literals, derived from the same
+# constants the Spark column function uses so the two can never drift
+_CCN_FROM_SQL = "'" + CCNET_PUNCT_FROM.replace("'", "''") + "'"
+_CCN_TO_SQL = "'" + CCNET_PUNCT_TO.replace("'", "''") + "'"
+
 ORACLES: dict[str, str] = {
     "nt_render": (
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
@@ -2447,6 +2485,35 @@ ORACLES: dict[str, str] = {
         "  AS rn FROM lines) "
         "SELECT doc_id, "
         "  string_agg(line, chr(10) ORDER BY pos) AS text, "
+        "  max(n_lines) AS n_lines, count(*) AS n_kept "
+        "FROM kept WHERE rn = 1 GROUP BY doc_id"
+    ),
+    "line_dedup_normalized": (
+        # same chunking + parity noise as the Spark side; the dedup key is
+        # the CCNet-normalized line (lower, digits→0, unicode-punct fold
+        # via the same translate table, \s+ collapse, trim) — survivors
+        # stay verbatim
+        "WITH chunked AS (SELECT doc_id, "
+        "  (CASE WHEN doc_id % 2 = 1 THEN upper(t0) ELSE t0 END) "
+        "  || chr(10) || "
+        "  (CASE WHEN doc_id % 2 = 1 THEN 'build 2024 “ok”' "
+        "   ELSE 'build 1999 ”ok“' END) AS t "
+        "  FROM (SELECT doc_id, regexp_replace(text, "
+        r"    '((\S+ ){2}\S+) ', '\1' || chr(10), 'g') AS t0 "
+        "    FROM documents)), "
+        "ls AS (SELECT doc_id, l, unnest(range(1, len(l)+1)) AS pos "
+        "  FROM (SELECT doc_id, string_split(t, chr(10)) AS l "
+        "        FROM chunked)), "
+        "lines AS (SELECT doc_id, pos, l[pos] AS line, len(l) AS n_lines "
+        "  FROM ls), "
+        "kept AS (SELECT doc_id, pos, line, n_lines, "
+        "  row_number() OVER (PARTITION BY "
+        "    trim(regexp_replace(translate(regexp_replace(lower(line), "
+        "      '[0-9]', '0', 'g'), " + _CCN_FROM_SQL + ", "
+        + _CCN_TO_SQL + "), "
+        r"      '\s+', ' ', 'g')) "
+        "    ORDER BY doc_id, pos) AS rn FROM lines) "
+        "SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text, "
         "  max(n_lines) AS n_lines, count(*) AS n_kept "
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
@@ -3108,6 +3175,7 @@ SPARK_QUERIES = {
     "graph_pagerank": q_graph_pagerank,
     "line_dedup_docs": q_line_dedup_docs,
     "substring_dedup": q_substring_dedup,
+    "line_dedup_normalized": q_line_dedup_normalized,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,

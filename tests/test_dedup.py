@@ -406,3 +406,43 @@ def test_substring_dedup_randomized_vs_reference(spark, seed, n_part):
     }
     ref_rows = [(i, t) for i, t in rows]
     assert got == _py_substring_dedup(ref_rows, window)
+
+
+def test_line_dedup_normalized_key_keeps_verbatim_text(spark):
+    from bop_consus_importing_rdf_spark.operators.dedup import line_dedup
+    from bop_consus_importing_rdf_spark.operators.textstats import (
+        ccnet_normalize,
+    )
+
+    rows = [
+        # same boilerplate modulo case / digits / curly quotes / ws runs
+        (1, "Visit  “our” site 2024\nunique one"),
+        (2, "visit  “our” SITE 1999\nunique two"),
+        (3, "clean line\nclean line"),  # within-doc dup still dedups
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r["id"]: (r["text"], r["n_lines"], r["n_kept"])
+        for r in line_dedup(df, "id", "text", normalize=ccnet_normalize)
+        .collect()
+    }
+    # doc 1's VERBATIM boilerplate survives (keep-first), doc 2's copy is
+    # dropped despite differing in case, digits, quote glyphs and spacing
+    assert got == {
+        1: ("Visit  “our” site 2024\nunique one", 2, 2),
+        2: ("unique two", 2, 1),
+        3: ("clean line", 2, 1),
+    }
+    # sanity on the normalizer itself
+    from pyspark.sql import functions as F
+
+    out = (
+        spark.range(1)
+        .select(
+            ccnet_normalize(
+                F.lit(" A“B” 12 – x…  y ")
+            ).alias("n")
+        )
+        .head()["n"]
+    )
+    assert out == 'a"b" 00 - x. y'
