@@ -1221,6 +1221,76 @@ def q_line_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iteration-0 BPE statistics: top-20 adjacent character pairs over
+    the corpus word-frequency table (count desc, then (lhs, rhs) asc —
+    deterministic under ties in both engines)."""
+    from .operators.bpe import _pair_counts, _wrapped_chars, word_frequencies
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = word_frequencies(docs, "text").select(
+        "word", "cnt", _wrapped_chars(F.col("word")).alias("repr")
+    )
+    return (
+        _pair_counts(vocab)
+        .orderBy(F.col("c").desc(), F.col("lhs"), F.col("rhs"))
+        .limit(20)
+        .select("lhs", "rhs", F.col("c").cast("long").alias("c"))
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges over the documents corpus; oracle = the same 8
+    iterations unrolled as DuckDB CTEs (argmax pair + wrapped-symbol
+    string replace per iteration, generated by ``_bpe_merges_sql``)."""
+    from .operators.bpe import bpe_train
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=8).select(
+        "rank", "lhs", "rhs", "c"
+    )
+
+
+def _bpe_merges_sql(n: int) -> str:
+    """Unrolled n-iteration BPE trainer in DuckDB SQL: per iteration one
+    weighted pair count, one deterministic argmax, one greedy left-to-
+    right merge via plain replace on the ``\\x02sym\\x03``-wrapped word
+    representation (occurrences are disjoint, so non-regex replace IS the
+    BPE merge — same trick as the Spark side, operators/bpe.py)."""
+    parts = [
+        "WITH words AS (SELECT unnest(string_split_regex(trim(text), "
+        r"'\s+')) AS word FROM documents WHERE trim(text) != ''), "
+        "wf AS (SELECT word, cast(count(*) AS bigint) AS cnt "
+        "  FROM words GROUP BY word), "
+        "v0 AS MATERIALIZED (SELECT word, cnt, chr(2) || "
+        "  array_to_string(regexp_extract_all(word, '.'), chr(3)||chr(2)) "
+        "  || chr(3) AS repr FROM wf)"
+    ]
+    for k in range(1, n + 1):
+        p = k - 1
+        parts.append(
+            f", s{k} AS MATERIALIZED (SELECT cnt, string_split(substr(repr, 2, "
+            f"len(repr)-2), chr(3)||chr(2)) AS s FROM v{p})"
+            f", p{k} AS (SELECT s[i] AS lhs, s[i+1] AS rhs, sum(cnt) AS c "
+            f"  FROM s{k}, LATERAL (SELECT unnest(generate_series(1, "
+            f"  len(s)-1)) AS i) g WHERE len(s) >= 2 GROUP BY 1, 2)"
+            f', m{k} AS MATERIALIZED (SELECT {k} AS "rank", lhs, rhs, '
+            f"  cast(c AS bigint) AS c "
+            f"  FROM p{k} ORDER BY c DESC, lhs, rhs LIMIT 1)"
+            f", v{k} AS MATERIALIZED (SELECT word, cnt, replace(repr, "
+            f"  (SELECT chr(2)||lhs||chr(3)||chr(2)||rhs||chr(3) "
+            f"   FROM m{k}), "
+            f"  (SELECT chr(2)||lhs||rhs||chr(3) FROM m{k})) AS repr "
+            f"  FROM v{p})"
+        )
+    parts.append(
+        " " + " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
+    )
+    return "".join(parts)
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import tfidf_topk
     from .sources.catalog import load_table
@@ -2488,6 +2558,21 @@ ORACLES: dict[str, str] = {
         "  max(n_lines) AS n_lines, count(*) AS n_kept "
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
+    "bpe_pair_counts": (
+        # iteration-0 adjacent character pairs weighted by word frequency
+        "WITH words AS (SELECT unnest(string_split_regex(trim(text), "
+        r"'\s+')) AS word FROM documents WHERE trim(text) != ''), "
+        "wf AS (SELECT word, cast(count(*) AS bigint) AS cnt "
+        "  FROM words GROUP BY word), "
+        "syms AS (SELECT word, cnt, regexp_extract_all(word, '.') AS s "
+        "  FROM wf), "
+        "pairs AS (SELECT s[i] AS lhs, s[i+1] AS rhs, cnt FROM syms, "
+        "  LATERAL (SELECT unnest(generate_series(1, len(s)-1)) AS i) g "
+        "  WHERE len(s) >= 2) "
+        "SELECT lhs, rhs, cast(sum(cnt) AS bigint) AS c FROM pairs "
+        "GROUP BY lhs, rhs ORDER BY c DESC, lhs, rhs LIMIT 20"
+    ),
+    "bpe_merges": _bpe_merges_sql(8),
     "line_dedup_normalized": (
         # same chunking + parity noise as the Spark side; the dedup key is
         # the CCNet-normalized line (lower, digits→0, unicode-punct fold
@@ -3176,6 +3261,8 @@ SPARK_QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "substring_dedup": q_substring_dedup,
     "line_dedup_normalized": q_line_dedup_normalized,
+    "bpe_pair_counts": q_bpe_pair_counts,
+    "bpe_merges": q_bpe_merges,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,

@@ -384,6 +384,15 @@ ROUND5_MD = """
     decides coverage with a per-document running max over the previous
     W rows: linear, no fan-out, window sort reused by the reassembly
     groupBy.
+  - `bpe_train` at 1M docs / 30M tokens with a ~26M-distinct-word
+    vocabulary (every token id-salted — harsher than any Zipfian
+    corpus), 10 merges: **185.9s (~18.6s/iteration)**. The corpus is
+    read once (combinable word-frequency groupBy); each iteration is a
+    combinable pair count over the VOCABULARY table plus a row-local
+    wrapped-string replace, argmax read to the driver as a 1-row
+    dimension read, localCheckpoint per iteration. Incremental pair-
+    count maintenance (recount only words containing the merged pair)
+    is the known next lever if iteration count grows.
   - `graph_pagerank` at the sf1 fixture graph (1.88M distinct edges,
     1.67M nodes, 5 iterations, fresh JVM, local[32]): **12.8s**
     end-to-end including adjacency/node-set materialization (~2.2s per
