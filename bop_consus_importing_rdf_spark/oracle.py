@@ -1253,12 +1253,67 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_segment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment the corpus with the 8 learned merges (the standard BPE
+    encoder replaying merges in rank order) — symbols space-joined per
+    document so the output is canonicalizer-friendly."""
+    from .operators.bpe import bpe_segment, bpe_train
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the merge table is the tokenizer artifact — an 8-row dimension read
+    merges = [
+        (r["lhs"], r["rhs"])
+        for r in bpe_train(docs, "text", n_merges=8).collect()
+    ]
+    seg = bpe_segment(docs, merges, "text")
+    return seg.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("bpe_tokens")).alias("bpe_text"),
+        F.size("bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
 def _bpe_merges_sql(n: int) -> str:
-    """Unrolled n-iteration BPE trainer in DuckDB SQL: per iteration one
-    weighted pair count, one deterministic argmax, one greedy left-to-
-    right merge via plain replace on the ``\\x02sym\\x03``-wrapped word
-    representation (occurrences are disjoint, so non-regex replace IS the
-    BPE merge — same trick as the Spark side, operators/bpe.py)."""
+    """Unrolled n-iteration BPE trainer in DuckDB SQL: final merge
+    table."""
+    return _bpe_cte_prefix(n) + (
+        " " + " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
+    )
+
+
+def _bpe_segment_sql(n: int) -> str:
+    """Segment every document with the n learned merges: each token joins
+    the final vocabulary's wrapped representation (v{n}), whose markers
+    unfold to the symbol sequence; per-doc reassembly in token order."""
+    return _bpe_cte_prefix(n) + (
+        ", toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+        r"  ELSE string_split_regex(trim(text), '\s+') END AS t "
+        "  FROM documents)"
+        ", tok_rows AS (SELECT doc_id, i AS pos, t[i] AS word FROM toks, "
+        "  LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g)"
+        f", segd AS (SELECT doc_id, pos, "
+        f"  replace(substr(v{n}.repr, 2, len(v{n}.repr)-2), "
+        "   chr(3)||chr(2), ' ') AS sym_text, "
+        f"  len(string_split(substr(v{n}.repr, 2, len(v{n}.repr)-2), "
+        "   chr(3)||chr(2))) AS n_syms "
+        f"  FROM tok_rows JOIN v{n} USING (word)) "
+        "SELECT toks.doc_id, "
+        "coalesce(string_agg(sym_text, ' ' ORDER BY pos), '') AS bpe_text, "
+        "cast(coalesce(sum(n_syms), 0) AS bigint) AS n_bpe_tokens "
+        "FROM toks LEFT JOIN segd ON toks.doc_id = segd.doc_id "
+        "GROUP BY toks.doc_id"
+    )
+
+
+def _bpe_cte_prefix(n: int) -> str:
+    """Shared unrolled BPE CTE chain (DuckDB): per iteration one weighted
+    pair count, one deterministic argmax, one greedy left-to-right merge
+    via plain replace on the ``\\x02sym\\x03``-wrapped word representation
+    (occurrences are disjoint, so non-regex replace IS the BPE merge —
+    same trick as the Spark side, operators/bpe.py). Every CTE level is
+    MATERIALIZED: DuckDB inlines plain CTEs, and each level is referenced
+    2-3×, which re-evaluates the chain exponentially."""
     parts = [
         "WITH words AS (SELECT unnest(string_split_regex(trim(text), "
         r"'\s+')) AS word FROM documents WHERE trim(text) != ''), "
@@ -1285,9 +1340,6 @@ def _bpe_merges_sql(n: int) -> str:
             f"  (SELECT chr(2)||lhs||rhs||chr(3) FROM m{k})) AS repr "
             f"  FROM v{p})"
         )
-    parts.append(
-        " " + " UNION ALL ".join(f"SELECT * FROM m{k}" for k in range(1, n + 1))
-    )
     return "".join(parts)
 
 
@@ -2573,6 +2625,7 @@ ORACLES: dict[str, str] = {
         "GROUP BY lhs, rhs ORDER BY c DESC, lhs, rhs LIMIT 20"
     ),
     "bpe_merges": _bpe_merges_sql(8),
+    "bpe_segment_docs": _bpe_segment_sql(8),
     "line_dedup_normalized": (
         # same chunking + parity noise as the Spark side; the dedup key is
         # the CCNet-normalized line (lower, digits→0, unicode-punct fold
@@ -3263,6 +3316,7 @@ SPARK_QUERIES = {
     "line_dedup_normalized": q_line_dedup_normalized,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
+    "bpe_segment_docs": q_bpe_segment_docs,
     "tfidf_keywords": q_tfidf_keywords,
     "minhash_signatures": q_minhash_signatures,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
