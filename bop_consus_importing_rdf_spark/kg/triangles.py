@@ -1,0 +1,84 @@
+"""Triangle counting over the entity graph.
+
+Degree-ordered triangle counting (Suri & Vassilvitskii, *Counting
+Triangles and the Curse of the Last Reducer*, WWW 2011): orient every
+undirected edge from its lower-(degree, id) endpoint to the higher one,
+enumerate wedges at each source, and confirm each wedge's closing edge
+against the oriented edge set. The orientation is the entire scale story
+— every node's out-degree is O(√m) regardless of its real degree, so the
+wedge fan-out at a 10⁸-degree hub (rdf:type, in this graph) is bounded
+and no "last reducer" exists. A naive wedge enumeration on the
+UNoriented graph is Θ(Σ deg²) and dies on exactly that hub.
+
+Reference scope: the reference has no graph analytics; this is the
+LLM/KG-pipeline extension surface (SURVEY §2.8 — entity-graph quality
+signals next to PageRank salience in ``pagerank.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation counts: ``(node, n_triangles)``,
+    one row per node in ≥1 triangle.
+
+    Input is a directed multigraph; it is canonicalized to a simple
+    undirected graph first (self-loops dropped, parallel/reverse
+    duplicates collapsed). Every triangle contributes exactly 1 to each
+    of its three corners. Plan: one distinct on the canonical edge, one
+    combinable degree count, two joins for the wedge→closure pipeline,
+    one final combinable count — no window, no driver iteration.
+    """
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    und = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient u→v iff (deg(u), u) < (deg(v), v) — a total order, so the
+    # oriented graph is acyclic and every undirected edge appears once
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    ed = und.join(da, "a").join(db, "b")
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
+    )
+    # wedges at u: unordered pairs of out-neighbours, ordered by the same
+    # (deg, id) key so the closing edge — if present — is oriented v→w
+    o1 = oriented.select("u", F.col("v"), F.col("dv"))
+    o2 = oriented.select(
+        F.col("u"), F.col("v").alias("w"), F.col("dv").alias("dw")
+    )
+    wedges = o1.join(o2, "u").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "left_semi").select("u", "v", "w")
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select(F.col("v").alias("node")))
+        .unionAll(tri.select(F.col("w").alias("node")))
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

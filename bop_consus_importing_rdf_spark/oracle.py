@@ -1156,6 +1156,27 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iters=_PAGERANK_ITERS, scale=_PAGERANK_SCALE)
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts, degree-ordered orientation (Suri &
+    Vassilvitskii WWW 2011). The fixture RDF graph is hierarchical
+    (orders→customer→nation→region — triangle-free), so the query first
+    UNIONs in the deterministic 2-hop shortcut edges (a→c for every
+    a→b→c), which closes every 2-path into a triangle — the same
+    derivation on both engines, so the counts are non-trivially
+    hash-checked."""
+    from .kg.triangles import triangle_counts
+
+    g = _graph(spark, sf_dir)
+    e0 = g.filter(F.col("obj_kind") == "iri").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+    mid = e0.select(F.col("src").alias("mid"), F.col("dst"))
+    shortcut = e0.select("src", F.col("dst").alias("mid")).join(
+        mid, "mid"
+    ).select("src", "dst")
+    return triangle_counts(e0.unionAll(shortcut))
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fixture corpus is single-line word salad, so the query first
     # chunks each document into 3-word "lines" (newline after every 3rd
@@ -2610,6 +2631,39 @@ ORACLES: dict[str, str] = {
         "  max(n_lines) AS n_lines, count(*) AS n_kept "
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
+    "graph_triangles": (
+        # same degree-ordered orientation as the Spark side; SEMI JOIN
+        # confirms each wedge's closing edge exactly once
+        f"WITH graph AS ({RDF_GRAPH_SQL}), "
+        "e0 AS (SELECT subj AS src, obj_value AS dst FROM graph "
+        "  WHERE obj_kind = 'iri'), "
+        "sc AS (SELECT e1.src AS src, e2.dst AS dst FROM e0 e1 "
+        "  JOIN e0 e2 ON e1.dst = e2.src), "
+        "eu AS (SELECT src, dst FROM e0 UNION ALL "
+        "  SELECT src, dst FROM sc), "
+        "e AS (SELECT DISTINCT least(src, dst) AS a, "
+        "  greatest(src, dst) AS b FROM eu WHERE src != dst), "
+        "deg AS (SELECT node, count(*) AS deg FROM "
+        "  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) "
+        "  GROUP BY node), "
+        "o AS (SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg "
+        "    AND e.a < e.b) THEN e.a ELSE e.b END AS u, "
+        "  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) "
+        "    THEN e.b ELSE e.a END AS v, "
+        "  CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b) "
+        "    THEN db.deg ELSE da.deg END AS dv "
+        "  FROM e JOIN deg da ON da.node = e.a "
+        "  JOIN deg db ON db.node = e.b), "
+        "w AS (SELECT o1.u AS u, o1.v AS v, o2.v AS w FROM o o1 "
+        "  JOIN o o2 ON o1.u = o2.u "
+        "  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)), "
+        "t AS (SELECT w.u, w.v, w.w FROM w "
+        "  SEMI JOIN o ON o.u = w.v AND o.v = w.w), "
+        "c AS (SELECT u AS node FROM t UNION ALL SELECT v AS node FROM t "
+        "  UNION ALL SELECT w AS node FROM t) "
+        "SELECT node, cast(count(*) AS bigint) AS n_triangles "
+        "FROM c GROUP BY node"
+    ),
     "bpe_pair_counts": (
         # iteration-0 adjacent character pairs weighted by word frequency
         "WITH words AS (SELECT unnest(string_split_regex(trim(text), "
@@ -3314,6 +3368,7 @@ SPARK_QUERIES = {
     "line_dedup_docs": q_line_dedup_docs,
     "substring_dedup": q_substring_dedup,
     "line_dedup_normalized": q_line_dedup_normalized,
+    "graph_triangles": q_graph_triangles,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,
