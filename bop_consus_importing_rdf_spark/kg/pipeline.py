@@ -93,6 +93,60 @@ def salted_repartition(df: DataFrame, n: int | None = None) -> DataFrame:
     return df.repartition(F.col("conv_id"), salt)
 
 
+def sft_examples(
+    transcripts: DataFrame,
+    k_context: int = 4,
+    assistant_role: str = "assistant",
+) -> DataFrame:
+    """Supervised-fine-tuning example construction from transcripts: one
+    training pair per ASSISTANT turn — ``context`` = the previous
+    ``k_context`` turns rendered ``role: text`` and newline-joined (in
+    stable turn order, fewer when the conversation is younger),
+    ``response`` = the assistant turn's text.
+
+    This is the training-data shape a transcript corpus exists to
+    produce (input_hint schema ``conv_id, turn_idx, role, text, tool,
+    ts``); it rides :func:`stable_turns`, so double-delivered turns are
+    dropped by the same deterministic rule as the KG path and the
+    example set is reproducible under any partitioning.
+
+    Scale shape: one conv-partitioned window (the same single wide
+    shuffle as the extraction path — a hot conversation is bounded by
+    its turn count, not the corpus) and a row-local render; no join, no
+    driver state. Returns ``(conv_id, turn_idx, context, response,
+    n_context_turns)``.
+    """
+    t = stable_turns(transcripts)
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(-k_context, -1)
+    )
+    # array_sort on (turn_idx, …) structs: collect_list over an ordered
+    # window preserves frame order in practice, but sorted-by-construction
+    # is the contract the oracle twin can rely on
+    ctx = F.array_sort(
+        F.collect_list(F.struct("turn_idx", "role", "text")).over(w)
+    )
+    return (
+        t.withColumn("_ctx", ctx)
+        .filter(F.col("role") == assistant_role)
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.col("_ctx"),
+                    lambda s: F.concat(s["role"], F.lit(": "), s["text"]),
+                ),
+            ).alias("context"),
+            F.col("text").alias("response"),
+            F.size("_ctx").cast("long").alias("n_context_turns"),
+        )
+    )
+
+
 def best_alias_map(aliases: DataFrame) -> dict[str, str]:
     """alias → best entity (argmax prior, deterministic tie-break).
 

@@ -1852,6 +1852,68 @@ def q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT pair construction over the Python-literal transcript corpus
+    (same rows as ``kg_transcripts_e2e``): previous-4-turn context per
+    assistant turn, stable-order dedup included."""
+    import datetime as _dt
+
+    from .kg.pipeline import sft_examples
+    from .kg.synth import e2e_transcript_rows
+
+    rows = [
+        (c, t, r, x, tool, _dt.datetime.utcfromtimestamp(ts))
+        for c, t, r, x, tool, ts in e2e_transcript_rows()
+    ]
+    tdf = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    )
+    tdf = tdf.repartition(8, F.xxhash64("conv_id", "turn_idx", "text"))
+    return sft_examples(tdf, k_context=4).select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"),
+        "context", "response", "n_context_turns",
+    )
+
+
+def _sft_oracle_sql() -> str:
+    """DuckDB twin of ``sft_examples``: same VALUES corpus, same
+    stable-order dedup (row_number over (conv, turn) by (ts, text)),
+    previous-4-ROW context via a row_number self-join, rendered and
+    aggregated in order."""
+    from .kg.synth import e2e_transcript_rows
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    values = ", ".join(
+        f"('{q(c)}', {t}, '{q(r)}', '{q(x)}', {ts})"
+        for (c, t, r, x, _tool, ts) in e2e_transcript_rows()
+    )
+    return f"""
+WITH t0(conv_id, turn_idx, role, text, ts) AS (VALUES {values}),
+dedup AS (SELECT conv_id, turn_idx, role, text, row_number() OVER (
+    PARTITION BY conv_id, turn_idx ORDER BY ts ASC, text ASC) AS rk
+  FROM t0),
+t AS (SELECT conv_id, turn_idx, role, text, row_number() OVER (
+    PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM dedup WHERE rk = 1),
+ctx AS (SELECT a.conv_id, a.turn_idx,
+    string_agg(b.role || ': ' || b.text, chr(10) ORDER BY b.rn)
+      AS context,
+    count(b.rn) AS n_ctx
+  FROM t a LEFT JOIN t b ON a.conv_id = b.conv_id
+    AND b.rn >= a.rn - 4 AND b.rn < a.rn
+  GROUP BY a.conv_id, a.turn_idx)
+SELECT a.conv_id, cast(a.turn_idx AS bigint) AS turn_idx,
+  coalesce(c.context, '') AS context, a.text AS response,
+  cast(c.n_ctx AS bigint) AS n_context_turns
+FROM t a JOIN ctx c ON c.conv_id = a.conv_id AND c.turn_idx = a.turn_idx
+WHERE a.role = 'assistant'
+"""
+
+
 def q_embedding_dedup_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering (SemDeDup shape), fully
     oracle-checked: the corpus is the embeddings table plus 50 planted
@@ -2631,6 +2693,7 @@ ORACLES: dict[str, str] = {
         "  max(n_lines) AS n_lines, count(*) AS n_kept "
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
+    "sft_examples": _sft_oracle_sql(),
     "graph_triangles": (
         # same degree-ordered orientation as the Spark side; SEMI JOIN
         # confirms each wedge's closing edge exactly once
@@ -3369,6 +3432,7 @@ SPARK_QUERIES = {
     "substring_dedup": q_substring_dedup,
     "line_dedup_normalized": q_line_dedup_normalized,
     "graph_triangles": q_graph_triangles,
+    "sft_examples": q_sft_examples,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,

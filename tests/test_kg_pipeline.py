@@ -168,3 +168,38 @@ def test_build_kg_at_scale_path_matches_broadcast_path(spark, aliases):
     ].select(cols)
     assert small.exceptAll(at_scale).count() == 0
     assert at_scale.exceptAll(small).count() == 0
+
+
+def test_sft_examples_context_window_and_dedup(spark):
+    import datetime as dt
+
+    from bop_consus_importing_rdf_spark.kg.pipeline import sft_examples
+
+    ts = dt.datetime(2024, 1, 1)
+    rows = [
+        ("c1", 0, "user", "q1", None, ts),
+        ("c1", 1, "assistant", "a1", None, ts),
+        ("c1", 1, "assistant", "a1-dup-later-ts", None,
+         dt.datetime(2024, 1, 2)),  # double delivery: dropped (later ts)
+        ("c1", 2, "user", "q2", None, ts),
+        ("c1", 3, "tool", "t1", None, ts),
+        ("c1", 4, "assistant", "a2", None, ts),
+        ("c2", 0, "assistant", "opener", None, ts),  # no context
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp",
+    ).repartition(5)
+    got = {
+        (r["conv_id"], r["turn_idx"]): (
+            r["context"], r["response"], r["n_context_turns"]
+        )
+        for r in sft_examples(df, k_context=3).collect()
+    }
+    assert got == {
+        ("c1", 1): ("user: q1", "a1", 1),
+        # k=3 window: turns 1..3 (the dup was dropped, a1 kept)
+        ("c1", 4): ("assistant: a1\nuser: q2\ntool: t1", "a2", 3),
+        ("c2", 0): ("", "opener", 0),
+    }
