@@ -1852,6 +1852,60 @@ def q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus over the fixture RDF entity graph: 2 reproducible
+    4-step walks per node (md5-derived neighbor choices — byte-identical
+    in both engines)."""
+    from .kg.walks import graph_random_walks
+
+    g = _graph(spark, sf_dir)
+    edges = g.filter(F.col("obj_kind") == "iri").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+    return graph_random_walks(edges, walk_len=4, walks_per_node=2)
+
+
+def _walks_oracle_sql(walk_len: int, walks_per_node: int) -> str:
+    """Unrolled DuckDB twin of ``graph_random_walks``: one LEFT JOIN pair
+    (degree, then (node, idx) adjacency probe) per step, same md5 index
+    arithmetic. CTEs MATERIALIZED — each level is referenced by the next
+    twice, which plain (inlined) CTEs re-evaluate exponentially."""
+    parts = [
+        f"WITH graph AS ({RDF_GRAPH_SQL}), "
+        "adj AS MATERIALIZED (SELECT DISTINCT subj AS node, "
+        "  obj_value AS nbr FROM graph WHERE obj_kind = 'iri'), "
+        "indexed AS MATERIALIZED (SELECT node, nbr, "
+        "  cast(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 "
+        "  AS bigint) AS idx FROM adj), "
+        "degs AS MATERIALIZED (SELECT node, cast(count(*) AS bigint) "
+        "  AS deg FROM indexed GROUP BY node), "
+        "w0 AS MATERIALIZED (SELECT node AS start, wid AS walk_id, "
+        "  node AS cur, node AS path, 0 AS n FROM degs, "
+        "  LATERAL (SELECT unnest(generate_series(0, "
+        f"  {walks_per_node - 1})) AS wid) g)"
+    ]
+    for k in range(1, walk_len + 1):
+        p = k - 1
+        parts.append(
+            f", w{k} AS MATERIALIZED (SELECT w.start, w.walk_id, "
+            "  i.nbr AS cur, "
+            "  CASE WHEN i.nbr IS NULL THEN w.path "
+            "    ELSE w.path || ' ' || i.nbr END AS path, "
+            "  CASE WHEN i.nbr IS NULL THEN w.n ELSE w.n + 1 END AS n "
+            f"  FROM w{p} w "
+            "  LEFT JOIN degs d ON d.node = w.cur "
+            "  LEFT JOIN indexed i ON i.node = w.cur AND i.idx = "
+            "  (('0x' || substring(md5(w.start || '|' || "
+            f"  cast(w.walk_id AS varchar) || '|' || '{k}' || '|' || "
+            "  w.cur), 1, 8))::bigint % d.deg))"
+        )
+    parts.append(
+        f" SELECT start, cast(walk_id AS bigint) AS walk_id, "
+        f"path AS walk, cast(n AS bigint) AS n_steps FROM w{walk_len}"
+    )
+    return "".join(parts)
+
+
 def q_sft_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT pair construction over the Python-literal transcript corpus
     (same rows as ``kg_transcripts_e2e``): previous-4-turn context per
@@ -2694,6 +2748,7 @@ ORACLES: dict[str, str] = {
         "FROM kept WHERE rn = 1 GROUP BY doc_id"
     ),
     "sft_examples": _sft_oracle_sql(),
+    "graph_random_walks": _walks_oracle_sql(4, 2),
     "graph_triangles": (
         # same degree-ordered orientation as the Spark side; SEMI JOIN
         # confirms each wedge's closing edge exactly once
@@ -3433,6 +3488,7 @@ SPARK_QUERIES = {
     "line_dedup_normalized": q_line_dedup_normalized,
     "graph_triangles": q_graph_triangles,
     "sft_examples": q_sft_examples,
+    "graph_random_walks": q_graph_random_walks,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,

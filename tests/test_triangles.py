@@ -56,3 +56,42 @@ def test_triangles_hub_star_is_triangle_free(spark):
     edges = [("hub", f"leaf{i}") for i in range(500)]
     df = spark.createDataFrame(edges, "src string, dst string")
     assert triangle_counts(df).count() == 0
+
+
+# --- random walks (kg/walks.py) -------------------------------------------
+
+def test_graph_random_walks_vs_reference(spark):
+    import hashlib
+
+    from bop_consus_importing_rdf_spark.kg.walks import graph_random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+             ("a", "b")]  # parallel edge collapses
+    df = spark.createDataFrame(
+        edges, "src string, dst string"
+    ).repartition(4)
+    got = sorted(
+        tuple(r)
+        for r in graph_random_walks(df, walk_len=3, walks_per_node=2)
+        .collect()
+    )
+    adj: dict = {}
+    for s, d in sorted(set(edges)):
+        adj.setdefault(s, []).append(d)
+
+    def idx(*parts):
+        key = "|".join(map(str, parts)).encode()
+        return int(hashlib.md5(key).hexdigest()[:8], 16)
+
+    ref = []
+    for start in sorted(adj):
+        for wid in range(2):
+            cur, path = start, [start]
+            for step in range(1, 4):
+                if cur not in adj:
+                    break  # sink: walk ends early
+                nbrs = sorted(adj[cur])
+                cur = nbrs[idx(start, wid, step, cur) % len(nbrs)]
+                path.append(cur)
+            ref.append((start, wid, " ".join(path), len(path) - 1))
+    assert got == sorted(ref)
