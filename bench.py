@@ -230,6 +230,11 @@ def run_pass(args) -> None:
         "prepare_corpus": lambda: materialize(
             SPARK_QUERIES["prepare_corpus"](spark, sf_dir)
         ),
+        # round-5 tail: the ExactSubstr-style substring dedup (W=12, the
+        # graded oracle configuration) over the sf documents table
+        "substring_dedup": lambda: materialize(
+            SPARK_QUERIES["substring_dedup"](spark, sf_dir)
+        ),
     }
     if args.only:
         keep = set(args.only.split(","))

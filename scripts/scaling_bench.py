@@ -399,6 +399,11 @@ ROUND5_MD = """
     Vassilvitskii WWW 2011) bounds every out-degree by O(sqrt m), so
     the rdf:type hubs emit zero wedges (test-pinned: a 500-leaf star
     counts in milliseconds) — no last-reducer skew.
+  - `graph_random_walks` at the sf1 graph (1.67M start nodes x 4
+    walks, 8 steps): **98.0s for 6.66M walks** — 8 join rounds over the
+    walker set (degree join + (node, idx) adjacency probe per step,
+    localCheckpoint each); mean walk length 1.09 on this sink-heavy
+    graph (most entities point only at classes/regions).
   - `graph_pagerank` at the sf1 fixture graph (1.88M distinct edges,
     1.67M nodes, 5 iterations, fresh JVM, local[32]): **12.8s**
     end-to-end including adjacency/node-set materialization (~2.2s per
