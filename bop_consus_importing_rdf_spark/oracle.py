@@ -1865,6 +1865,60 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the shortcut-closed fixture graph (same edge derivation
+    as ``graph_triangles``); Spark peels to FIXPOINT, the oracle unrolls
+    16 peels (idempotent past convergence — the pytest pins the fixture's
+    actual depth well under 16)."""
+    from .kg.triangles import k_core
+
+    g = _graph(spark, sf_dir)
+    e0 = g.filter(F.col("obj_kind") == "iri").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+    mid = e0.select(F.col("src").alias("mid"), F.col("dst"))
+    shortcut = e0.select("src", F.col("dst").alias("mid")).join(
+        mid, "mid"
+    ).select("src", "dst")
+    return k_core(e0.unionAll(shortcut), k=3)
+
+
+def _kcore_oracle_sql(k: int, n_iter: int) -> str:
+    """Unrolled k-core peeling in DuckDB: per round one degree count and
+    two SEMI JOINs; MATERIALIZED (each level referenced 3×). Idempotent
+    once the fixpoint is reached, so any n_iter ≥ the true peel depth is
+    exact."""
+    parts = [
+        f"WITH graph AS ({RDF_GRAPH_SQL}), "
+        "e0 AS MATERIALIZED (SELECT subj AS src, obj_value AS dst "
+        "  FROM graph WHERE obj_kind = 'iri'), "
+        "sc AS MATERIALIZED (SELECT e1.src AS src, e2.dst AS dst "
+        "  FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.src), "
+        "g0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, "
+        "  greatest(src, dst) AS b FROM "
+        "  (SELECT src, dst FROM e0 UNION ALL SELECT src, dst FROM sc) "
+        "  WHERE src != dst)"
+    ]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(
+            f", d{i} AS MATERIALIZED (SELECT node, count(*) AS deg FROM "
+            f"  (SELECT a AS node FROM g{p} UNION ALL "
+            f"   SELECT b AS node FROM g{p}) GROUP BY node)"
+            f", k{i} AS MATERIALIZED (SELECT node FROM d{i} "
+            f"  WHERE deg >= {k})"
+            f", g{i} AS MATERIALIZED (SELECT g.a, g.b FROM g{p} g "
+            f"  SEMI JOIN k{i} ka ON ka.node = g.a "
+            f"  SEMI JOIN k{i} kb ON kb.node = g.b)"
+        )
+    parts.append(
+        f" SELECT node, cast(count(*) AS bigint) AS deg FROM "
+        f"(SELECT a AS node FROM g{n_iter} UNION ALL "
+        f"SELECT b AS node FROM g{n_iter}) GROUP BY node"
+    )
+    return "".join(parts)
+
+
 def _walks_oracle_sql(walk_len: int, walks_per_node: int) -> str:
     """Unrolled DuckDB twin of ``graph_random_walks``: one LEFT JOIN pair
     (degree, then (node, idx) adjacency probe) per step, same md5 index
@@ -2749,6 +2803,7 @@ ORACLES: dict[str, str] = {
     ),
     "sft_examples": _sft_oracle_sql(),
     "graph_random_walks": _walks_oracle_sql(4, 2),
+    "graph_kcore": _kcore_oracle_sql(3, 16),
     "graph_triangles": (
         # same degree-ordered orientation as the Spark side; SEMI JOIN
         # confirms each wedge's closing edge exactly once
@@ -3489,6 +3544,7 @@ SPARK_QUERIES = {
     "graph_triangles": q_graph_triangles,
     "sft_examples": q_sft_examples,
     "graph_random_walks": q_graph_random_walks,
+    "graph_kcore": q_graph_kcore,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,

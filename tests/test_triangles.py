@@ -95,3 +95,60 @@ def test_graph_random_walks_vs_reference(spark):
                 path.append(cur)
             ref.append((start, wid, " ".join(path), len(path) - 1))
     assert got == sorted(ref)
+
+
+# --- k-core (kg/triangles.py::k_core) --------------------------------------
+
+def _ref_kcore(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+@pytest.mark.parametrize("seed,k", [(5, 3), (23, 2), (61, 4)])
+def test_kcore_randomized_vs_reference(spark, seed, k):
+    rng = random.Random(seed)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(170)]
+    df = spark.createDataFrame(
+        edges, "src string, dst string"
+    ).repartition(7)
+    got = {
+        r["node"]: r["deg"]
+        for r in __import__(
+            "bop_consus_importing_rdf_spark.kg.triangles",
+            fromlist=["k_core"],
+        ).k_core(df, k=k).collect()
+    }
+    assert got == _ref_kcore(edges, k)
+
+
+def test_kcore_fixture_depth_below_oracle_unroll(spark):
+    # the graph_kcore oracle unrolls 16 peels; pin that the fixture graph
+    # (with its shortcut closure) converges well under that
+    from bop_consus_importing_rdf_spark.kg.triangles import k_core
+    from bop_consus_importing_rdf_spark.oracle import _graph
+    from pyspark.sql import functions as F
+
+    g = _graph(spark, "/root/testdata/sf0.001")
+    e0 = g.filter(F.col("obj_kind") == "iri").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+    mid = e0.select(F.col("src").alias("mid"), F.col("dst"))
+    sc = e0.select("src", F.col("dst").alias("mid")).join(mid, "mid") \
+        .select("src", "dst")
+    # converges (raises loudly past max_iter) with a tight bound
+    out = k_core(e0.unionAll(sc), k=3, max_iter=12)
+    assert out.count() > 0
