@@ -526,6 +526,89 @@ def lsh_candidate_star_pairs(
     )
 
 
+def prefix_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold_pct: int = 80,
+    n: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ threshold join via prefix filtering
+    (Bayardo, Ma & Srikant, *Scaling Up All Pairs Similarity Search*,
+    WWW 2007; Chaudhuri et al. ICDE 2006) — the LOSSLESS counterpart to
+    the MinHash/SimHash paths: every qualifying pair is emitted, no
+    probabilistic recall.
+
+    Prefix filter: with each document's n-gram set sorted by global
+    rarity, two sets with Jaccard ≥ t MUST share a token within each
+    other's first ``|x| − ⌈t·|x|⌉ + 1`` tokens — so candidates come from
+    a self-join on PREFIX tokens only, and rare-first ordering keeps
+    those join keys low-frequency (the hot boilerplate token lands in
+    nobody's prefix). No global integer rank is materialized: the sort
+    key is the ``(frequency, token)`` pair itself, so there is no
+    single-partition ranking window to bottleneck at scale.
+
+    ``threshold_pct`` is an integer percent and the filter is integer
+    arithmetic (``100·|A∩B| ≥ pct·|A∪B|``) — engine-exact by
+    construction. Returns ``(id_a, id_b, n_inter, n_a, n_b)``.
+    """
+    shingles = word_ngrams(df, id_col, text_col, n).localCheckpoint(
+        eager=False
+    )
+    freq = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        shingles.join(freq, "shingle")
+        .groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("c", "shingle"))
+            ).alias("_toks"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+    )
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.col("sz") * threshold_pct / F.lit(100)).cast("long")
+        + 1
+    )
+    prefix = per_doc.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("_toks"), F.lit(1), prefix_len),
+                lambda s: s["shingle"],
+            )
+        ).alias("shingle"),
+    )
+    cand = (
+        prefix.alias("l")
+        .join(
+            prefix.alias("r"),
+            (F.col("l.shingle") == F.col("r.shingle"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("_n"))
+    out = (
+        _intersections(cand, shingles)
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("_n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("_n").alias("n_b")), "id_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    return out.filter(
+        F.col("n_inter") * 100 >= F.lit(threshold_pct) * union
+    ).select(
+        "id_a", "id_b",
+        F.col("n_inter").cast("long").alias("n_inter"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
 def _intersections(pairs: DataFrame, shingles: DataFrame) -> DataFrame:
     sh_a = shingles.select(F.col("id").alias("id_a"), "shingle")
     sh_b = shingles.select(F.col("id").alias("id_b"), "shingle")

@@ -1865,6 +1865,19 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard ≥ 0.5 over the documents 3-gram sets via
+    prefix filtering; the oracle is BRUTE FORCE (every shingle-sharing
+    pair) — prefix filtering is lossless, so equality against brute force
+    is precisely its correctness claim (25 true pairs at sf0.01, the same
+    clones MinHash finds probabilistically)."""
+    from .operators.dedup import prefix_jaccard_join
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_jaccard_join(docs, "doc_id", "text", threshold_pct=50, n=3)
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the shortcut-closed fixture graph (same edge derivation
     as ``graph_triangles``); Spark peels to FIXPOINT, the oracle unrolls
@@ -2804,6 +2817,21 @@ ORACLES: dict[str, str] = {
     "sft_examples": _sft_oracle_sql(),
     "graph_random_walks": _walks_oracle_sql(4, 2),
     "graph_kcore": _kcore_oracle_sql(3, 16),
+    "prefix_jaccard_pairs": (
+        # brute force: every shingle-sharing pair, integer Jaccard filter
+        # (prefix filtering is lossless, so exact equality is the claim)
+        _SHINGLES_CTE
+        + ", inter AS (SELECT a.id AS id_a, b.id AS id_b, "
+        "  count(*) AS n_inter FROM sh a "
+        "  JOIN sh b ON a.shingle = b.shingle AND a.id < b.id "
+        "  GROUP BY a.id, b.id), "
+        "sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id) "
+        "SELECT i.id_a, i.id_b, cast(i.n_inter AS bigint) AS n_inter, "
+        "cast(sa.n AS bigint) AS n_a, cast(sb.n AS bigint) AS n_b "
+        "FROM inter i JOIN sizes sa ON sa.id = i.id_a "
+        "JOIN sizes sb ON sb.id = i.id_b "
+        "WHERE 100 * i.n_inter >= 50 * (sa.n + sb.n - i.n_inter)"
+    ),
     "graph_triangles": (
         # same degree-ordered orientation as the Spark side; SEMI JOIN
         # confirms each wedge's closing edge exactly once
@@ -3545,6 +3573,7 @@ SPARK_QUERIES = {
     "sft_examples": q_sft_examples,
     "graph_random_walks": q_graph_random_walks,
     "graph_kcore": q_graph_kcore,
+    "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,

@@ -446,3 +446,47 @@ def test_line_dedup_normalized_key_keeps_verbatim_text(spark):
         .head()["n"]
     )
     assert out == 'a"b" 00 - x. y'
+
+
+@_pytest.mark.parametrize("seed,pct,n_part", [(9, 60, 1), (31, 50, 7),
+                                              (71, 80, 32)])
+def test_prefix_jaccard_join_equals_brute_force(spark, seed, pct, n_part):
+    # lossless-ness IS the contract: prefix filtering must emit exactly
+    # the brute-force pair set at every threshold/partitioning
+    import random
+    from itertools import combinations
+
+    from bop_consus_importing_rdf_spark.operators.dedup import (
+        prefix_jaccard_join,
+    )
+
+    rng = random.Random(seed)
+    vocab = [f"w{k}" for k in range(40)]
+    rows, i = [], 0
+    for base in range(20):
+        t = " ".join(rng.choices(vocab, k=14))
+        rows.append((i, t)); i += 1
+        if base % 2 == 0:  # planted near-dup
+            rows.append((i, t + " " + rng.choice(vocab))); i += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).repartition(n_part)
+    got = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b)
+        for r in prefix_jaccard_join(df, threshold_pct=pct, n=2).collect()
+    }
+
+    def grams(t, n=2):
+        toks = t.lower().split()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[j:j + n]) for j in range(len(toks) - n + 1)}
+
+    gs = {i: grams(t) for i, t in rows}
+    ref = {}
+    for a, b in combinations(sorted(gs), 2):
+        inter = len(gs[a] & gs[b])
+        union = len(gs[a] | gs[b])
+        if inter and 100 * inter >= pct * union:
+            ref[(a, b)] = (inter, len(gs[a]), len(gs[b]))
+    assert got == ref
