@@ -41,6 +41,12 @@ def main() -> None:
     ap.add_argument("--n-buckets", type=int, default=16)
     ap.add_argument("--synth-conv", type=int, default=1000,
                     help="synthetic corpus size when --transcripts omitted")
+    ap.add_argument("--emit-sft", default=None, metavar="PATH",
+                    help="additionally write SFT training pairs "
+                         "(context/response per assistant turn, "
+                         "kg/pipeline.sft_examples) as parquet to PATH")
+    ap.add_argument("--sft-context", type=int, default=4,
+                    help="context turns per SFT example (--emit-sft)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -85,6 +91,18 @@ def main() -> None:
         f"run finished: {n} buckets committed in "
         f"{time.perf_counter() - t0:.1f}s → {args.output}"
     )
+
+    if args.emit_sft:
+        from bop_consus_importing_rdf_spark.kg.pipeline import sft_examples
+
+        t1 = time.perf_counter()
+        pairs = sft_examples(transcripts, k_context=args.sft_context)
+        pairs.write.mode("overwrite").parquet(args.emit_sft)
+        n_pairs = spark.read.parquet(args.emit_sft).count()
+        print(
+            f"sft pairs: {n_pairs} written in "
+            f"{time.perf_counter() - t1:.1f}s → {args.emit_sft}"
+        )
 
 
 if __name__ == "__main__":
