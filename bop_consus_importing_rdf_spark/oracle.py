@@ -1865,6 +1865,26 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def q_bgp_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive BGP over the fixture graph — the SPARQL-SELECT core a
+    KG consumer runs: order → customer → nation → region chain plus the
+    order's identifier (5 patterns, 4 shared-variable joins); every
+    constant term is a pushed-down scan predicate."""
+    from .operators.bgp import bgp_match
+
+    g = _graph(spark, sf_dir)
+    return bgp_match(
+        g,
+        [
+            ("?o", "urn:p:customer", "?c"),
+            ("?c", "urn:p:nation", "?n"),
+            ("?n", "urn:p:region", "?r"),
+            ("?o", "http://purl.org/dc/terms/identifier", "?id"),
+            ("?o", "urn:p:priority", "?prio"),
+        ],
+    )
+
+
 def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT all-pairs Jaccard ≥ 0.5 over the documents 3-gram sets via
     prefix filtering; the oracle is BRUTE FORCE (every shingle-sharing
@@ -2817,6 +2837,22 @@ ORACLES: dict[str, str] = {
     "sft_examples": _sft_oracle_sql(),
     "graph_random_walks": _walks_oracle_sql(4, 2),
     "graph_kcore": _kcore_oracle_sql(3, 16),
+    "bgp_orders_chain": (
+        # the same five patterns as filtered self-joins of the graph
+        f"WITH graph AS ({RDF_GRAPH_SQL}) "
+        "SELECT p1.subj AS o, p1.obj_value AS c, p2.obj_value AS n, "
+        "p3.obj_value AS r, p4.obj_value AS id, p5.obj_value AS prio "
+        "FROM graph p1 "
+        "JOIN graph p2 ON p2.subj = p1.obj_value "
+        "  AND p2.pred = 'urn:p:nation' "
+        "JOIN graph p3 ON p3.subj = p2.obj_value "
+        "  AND p3.pred = 'urn:p:region' "
+        "JOIN graph p4 ON p4.subj = p1.subj "
+        "  AND p4.pred = 'http://purl.org/dc/terms/identifier' "
+        "JOIN graph p5 ON p5.subj = p1.subj "
+        "  AND p5.pred = 'urn:p:priority' "
+        "WHERE p1.pred = 'urn:p:customer'"
+    ),
     "prefix_jaccard_pairs": (
         # brute force: every shingle-sharing pair, integer Jaccard filter
         # (prefix filtering is lossless, so exact equality is the claim)
@@ -3574,6 +3610,7 @@ SPARK_QUERIES = {
     "graph_random_walks": q_graph_random_walks,
     "graph_kcore": q_graph_kcore,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
+    "bgp_orders_chain": q_bgp_orders_chain,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,
