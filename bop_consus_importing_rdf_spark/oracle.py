@@ -1865,6 +1865,41 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-quality gate over the documents and events tables: seven
+    rules — incl. one that FAILS by design (events value range), so the
+    report's failure path is oracle-checked too."""
+    from .operators.expectations import validate_corpus
+    from .sources.catalog import load_table
+
+    docs = validate_corpus(
+        load_table(spark, sf_dir, "documents"),
+        [
+            ("not_null", "doc_id"),
+            ("unique", "doc_id"),
+            ("non_empty", "text"),
+            ("matches", "lang", "[a-z]{2}"),
+        ],
+    )
+    events = validate_corpus(
+        load_table(spark, sf_dir, "events"),
+        [
+            ("not_null", "event_id"),
+            ("in_range", "value", 0.0, 10.0),  # fails: values reach ~20
+            ("matches", "event_type", "[a-z]+"),
+        ],
+    )
+    return docs.select(
+        F.concat(F.lit("documents."), F.col("rule")).alias("rule"),
+        "n_violations", "n_rows", "passed",
+    ).unionByName(
+        events.select(
+            F.concat(F.lit("events."), F.col("rule")).alias("rule"),
+            "n_violations", "n_rows", "passed",
+        )
+    )
+
+
 def q_bgp_orders_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive BGP over the fixture graph — the SPARQL-SELECT core a
     KG consumer runs: order → customer → nation → region chain plus the
@@ -2837,6 +2872,40 @@ ORACLES: dict[str, str] = {
     "sft_examples": _sft_oracle_sql(),
     "graph_random_walks": _walks_oracle_sql(4, 2),
     "graph_kcore": _kcore_oracle_sql(3, 16),
+    "corpus_expectations": (
+        # one conditional-count pass per table + a per-key group count for
+        # the uniqueness rule — same shapes as the Spark side
+        "WITH d AS (SELECT cast(count(*) AS bigint) AS n, "
+        "  cast(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS bigint) "
+        "    AS v_nn, "
+        "  cast(sum(CASE WHEN text IS NULL OR trim(text) = '' THEN 1 "
+        "    ELSE 0 END) AS bigint) AS v_ne, "
+        "  cast(sum(CASE WHEN lang IS NOT NULL AND NOT "
+        "    regexp_full_match(lang, '[a-z]{2}') THEN 1 ELSE 0 END) "
+        "    AS bigint) AS v_m FROM documents), "
+        "du AS (SELECT cast(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) "
+        "  AS bigint) AS v, cast(sum(c) AS bigint) AS n FROM "
+        "  (SELECT count(*) AS c FROM documents GROUP BY doc_id)), "
+        "e AS (SELECT cast(count(*) AS bigint) AS n, "
+        "  cast(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) "
+        "    AS bigint) AS v_nn, "
+        "  cast(sum(CASE WHEN value IS NOT NULL AND (value < 0.0 OR "
+        "    value > 10.0) THEN 1 ELSE 0 END) AS bigint) AS v_r, "
+        "  cast(sum(CASE WHEN event_type IS NOT NULL AND NOT "
+        "    regexp_full_match(event_type, '[a-z]+') THEN 1 ELSE 0 END) "
+        "    AS bigint) AS v_m FROM events) "
+        "SELECT 'documents.not_null:doc_id' AS rule, v_nn AS n_violations, "
+        "  n AS n_rows, v_nn = 0 AS passed FROM d "
+        "UNION ALL SELECT 'documents.non_empty:text', v_ne, n, v_ne = 0 "
+        "  FROM d "
+        "UNION ALL SELECT 'documents.matches:lang', v_m, n, v_m = 0 FROM d "
+        "UNION ALL SELECT 'documents.unique:doc_id', v, n, v = 0 FROM du "
+        "UNION ALL SELECT 'events.not_null:event_id', v_nn, n, v_nn = 0 "
+        "  FROM e "
+        "UNION ALL SELECT 'events.in_range:value', v_r, n, v_r = 0 FROM e "
+        "UNION ALL SELECT 'events.matches:event_type', v_m, n, v_m = 0 "
+        "  FROM e"
+    ),
     "bgp_orders_chain": (
         # the same five patterns as filtered self-joins of the graph
         f"WITH graph AS ({RDF_GRAPH_SQL}) "
@@ -3611,6 +3680,7 @@ SPARK_QUERIES = {
     "graph_kcore": q_graph_kcore,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "bgp_orders_chain": q_bgp_orders_chain,
+    "corpus_expectations": q_corpus_expectations,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,
