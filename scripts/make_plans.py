@@ -145,6 +145,34 @@ COMMENTARY = {
         "window), then one per-document reassembly groupBy. 12.4s at 1M "
         "docs / 16.2M lines (fresh JVM, local[32]), 67% of lines deduped."
     ),
+    "graph_triangles": (
+        "Degree-ordered triangle counting (Suri & Vassilvitskii WWW "
+        "2011): orientation bounds every out-degree by O(sqrt m), so the "
+        "wedge self-join's fan-out is capped and rdf:type-scale hubs emit "
+        "ZERO wedges (a 500-leaf star is test-pinned triangle-free in "
+        "milliseconds). 14.1s at the 2.18M-edge sf1 shortcut closure."
+    ),
+    "bgp_orders_chain": (
+        "Conjunctive BGP evaluation: every constant term reaches the "
+        "parquet scan as a pushed filter (test_bgp pins PushedFilters), "
+        "shared variables become equi-joins Catalyst reorders freely; "
+        "with the subj-bucketed statement layout, subject-chained "
+        "patterns co-locate."
+    ),
+    "prefix_jaccard_pairs": (
+        "EXACT all-pairs Jaccard via prefix filtering (Bayardo WWW "
+        "2007): candidates from a self-join on each set's rare-first "
+        "prefix tokens only — lossless, and hot boilerplate tokens land "
+        "in nobody's prefix; the sort key is the (frequency, token) "
+        "pair, so no single-partition global rank window exists."
+    ),
+    "bpe_merges": (
+        "BPE training: iterations run over the word-frequency VOCABULARY "
+        "table (combinable pair count + row-local wrapped-string "
+        "replace), never the corpus; the argmax is a 1-row driver "
+        "dimension read embedded as a literal. 185.9s for 10 merges over "
+        "a 26M-distinct-word worst-case vocabulary."
+    ),
     "substring_dedup": (
         "Token-window ExactSubstr: duplicated-gram set via ONE map-side-"
         "combinable groupBy(md5(gram)) + semi join back on the hash; "
