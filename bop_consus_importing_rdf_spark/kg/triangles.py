@@ -91,10 +91,14 @@ def triangle_counts(
     """
     a = F.least(F.col(src), F.col(dst)).alias("a")
     b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    # materialized: consumed by the degree count AND the orientation join
+    # (and everything upstream of `edges` would otherwise re-evaluate per
+    # consumer — the plan-text blowup make_plans exposed for live inputs)
     und = (
         edges.select(a, b)
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("node"))
@@ -110,11 +114,13 @@ def triangle_counts(
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # materialized: three consumers (both wedge sides + the closing-edge
+    # semi join) — one shuffle-producing join instead of three replays
     oriented = ed.select(
         F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
         F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         F.when(fwd, F.col("db")).otherwise(F.col("da")).alias("dv"),
-    )
+    ).localCheckpoint(eager=False)
     # wedges at u: unordered pairs of out-neighbours, ordered by the same
     # (deg, id) key so the closing edge — if present — is oriented v→w
     o1 = oriented.select("u", F.col("v"), F.col("dv"))

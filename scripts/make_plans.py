@@ -150,7 +150,7 @@ COMMENTARY = {
         "2011): orientation bounds every out-degree by O(sqrt m), so the "
         "wedge self-join's fan-out is capped and rdf:type-scale hubs emit "
         "ZERO wedges (a 500-leaf star is test-pinned triangle-free in "
-        "milliseconds). 14.1s at the 2.18M-edge sf1 shortcut closure."
+        "milliseconds). 10.6s at the 2.18M-edge sf1 shortcut closure."
     ),
     "bgp_orders_chain": (
         "Conjunctive BGP evaluation: every constant term reaches the "

@@ -395,7 +395,7 @@ ROUND5_MD = """
     is the known next lever if iteration count grows.
   - `graph_triangles` at the sf1 graph + its 2-hop shortcut closure
     (2.18M directed edges in, 300k triangles over 150k nodes, fresh
-    JVM, local[32]): **14.1s**. Degree-ordered orientation (Suri &
+    JVM, local[32]): **10.6s** (14.1s before materializing the canonical/oriented edge sets — they have 2-3 consumers each). Degree-ordered orientation (Suri &
     Vassilvitskii WWW 2011) bounds every out-degree by O(sqrt m), so
     the rdf:type hubs emit zero wedges (test-pinned: a 500-leaf star
     counts in milliseconds) — no last-reducer skew.
