@@ -53,11 +53,14 @@ def k_core(
     )
     cur = und
     for _ in range(max_iter):
+        # materialized: three consumers per round (emptiness check, the
+        # keep filter feeding two semi joins, and the final return)
         deg = (
             cur.select(F.col("a").alias("node"))
             .unionAll(cur.select(F.col("b").alias("node")))
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=False)
         )
         low = deg.filter(F.col("deg") < k)
         if low.limit(1).count() == 0:

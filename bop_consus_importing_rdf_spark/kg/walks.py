@@ -50,9 +50,11 @@ def graph_random_walks(
     indexed = adj.withColumn(
         "idx", (F.row_number().over(w) - 1).cast("long")
     ).localCheckpoint(eager=False)
+    # materialized: joined by EVERY step — without it each of the L steps
+    # replays the degree groupBy off the adjacency
     degs = indexed.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
-    )
+    ).localCheckpoint(eager=False)
     walkers = (
         degs.select(F.col("node").alias("start"))
         .select(

@@ -400,7 +400,7 @@ ROUND5_MD = """
     the rdf:type hubs emit zero wedges (test-pinned: a 500-leaf star
     counts in milliseconds) — no last-reducer skew.
   - `graph_random_walks` at the sf1 graph (1.67M start nodes x 4
-    walks, 8 steps): **98.0s for 6.66M walks** — 8 join rounds over the
+    walks, 8 steps): **94.2s for 6.66M walks** (98.0s before materializing the per-step degree table) — 8 join rounds over the
     walker set (degree join + (node, idx) adjacency probe per step,
     localCheckpoint each); mean walk length 1.09 on this sink-heavy
     graph (most entities point only at classes/regions).
