@@ -86,6 +86,81 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def mix_domains(
+    df: DataFrame,
+    targets: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    domain_col: str = "source",
+) -> DataFrame:
+    """Deterministic corpus re-mixing to target per-domain TOKEN shares
+    (the data-mixing knob — DoReMi, Xie et al. NeurIPS 2023, applies
+    learned domain weights exactly like this; so do hand-tuned
+    Pile/RedPajama mixes). ``targets`` maps domain → per-mille share.
+
+    No domain can grow (subsampling only), so the mix is anchored on the
+    BINDING domain — the one whose tokens run out first at its target
+    share (min Tᵈ/sᵈ); every other domain is thinned to match:
+    ``keep_rate_d = (s_d · T_b) / (s_b · T_d)``. Documents are kept by an
+    md5 ppm draw on the id — reproducible under any partitioning, no rng
+    state (the ``shuffle_shards``/``sample_stratified`` discipline).
+
+    Plan: one token-count scan, one combinable per-domain sum, the
+    binding-domain argmin on the (tiny) domain dimension, a broadcast
+    rate join back, one filter. All rate arithmetic is BIGINT integer
+    division (engine-exact); products stay in-range up to ~9×10¹² tokens
+    per domain — past that, lift to DECIMAL(38,0) in both engines.
+
+    Returns kept rows: ``(id, domain, n_tokens, rate_ppm)``. Domains
+    absent from ``targets`` are dropped entirely (share 0). Raises when
+    a target domain has no rows — a silent mix hole otherwise.
+    """
+    from .textstats import whitespace_token_count
+
+    if not targets or any(s <= 0 for s in targets.values()):
+        raise ValueError("targets must be a non-empty dict of positive ‰")
+    spark = df.sparkSession
+    tdim = spark.createDataFrame(
+        sorted(targets.items()), "domain string, s long"
+    )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.col(domain_col).alias("domain"),
+        whitespace_token_count(F.col(text_col)).cast("long").alias(
+            "n_tokens"
+        ),
+    )
+    t_dom = tok.groupBy("domain").agg(F.sum("n_tokens").alias("t"))
+    sized = tdim.join(t_dom, "domain", "left")
+    missing = sized.filter(
+        F.col("t").isNull() | (F.col("t") == 0)
+    ).limit(1).collect()
+    if missing:
+        raise ValueError(
+            f"target domain {missing[0]['domain']!r} has no tokens in the "
+            "corpus — the requested mix is unsatisfiable"
+        )
+    binding = sized.select(
+        F.min(F.struct(F.expr("t * 1000000 div s").alias("_cap"),
+                       F.col("t").alias("t_b"),
+                       F.col("s").alias("s_b"))).alias("_m")
+    ).select("_m.t_b", "_m.s_b")
+    rates = sized.join(F.broadcast(binding), F.lit(True)).select(
+        "domain",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("(s * t_b * 1000000) div (s_b * t)"),
+        ).alias("rate_ppm"),
+    )
+    hex8 = F.substring(F.md5(F.col("id").cast("string")), 1, 8)
+    draw = F.conv(hex8, 16, 10).cast("long") % 1_000_000
+    return (
+        tok.join(F.broadcast(rates), "domain")
+        .filter(draw < F.col("rate_ppm"))
+        .select("id", "domain", "n_tokens", "rate_ppm")
+    )
+
+
 def md5_bucket(id_col: Column, n_buckets: int = 100) -> Column:
     """Deterministic [0, n_buckets) bucket from the md5 of the id's string
     form. Engine-portable: DuckDB computes the identical value as

@@ -1865,6 +1865,49 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_random_walks(edges, walk_len=4, walks_per_node=2)
 
 
+#: the mix targets for q_mix_domains (per-mille): a 4:1 up/down-weighting
+#: of the first ten fixture sources vs the rest
+MIX_TARGETS = {f"src{i}": (80 if i < 10 else 20) for i in range(20)}
+
+
+def q_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DoReMi-style domain re-mixing of the documents
+    corpus to target token shares; oracle mirrors the binding-domain
+    argmin, the BIGINT rate arithmetic and the md5 ppm draw."""
+    from .operators.pretrain import mix_domains
+    from .sources.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mix_domains(docs, MIX_TARGETS)
+
+
+def _mix_oracle_sql() -> str:
+    values = ", ".join(
+        f"('{d}', {s})" for d, s in sorted(MIX_TARGETS.items())
+    )
+    return (
+        f"WITH tgt(domain, s) AS (VALUES {values}), "
+        "tok AS (SELECT doc_id AS id, source AS domain, "
+        "  cast(CASE WHEN trim(text) = '' THEN 0 ELSE "
+        r"  len(string_split_regex(trim(text), '\s+')) END AS bigint) "
+        "  AS n_tokens FROM documents), "
+        "t_dom AS (SELECT domain, cast(sum(n_tokens) AS bigint) AS t "
+        "  FROM tok GROUP BY domain), "
+        "sized AS (SELECT tgt.domain, cast(tgt.s AS bigint) AS s, t "
+        "  FROM tgt JOIN t_dom USING (domain)), "
+        # binding domain: same (cap, t, s) ordering as the struct-min
+        "binding AS (SELECT t AS t_b, s AS s_b FROM sized "
+        "  ORDER BY t * 1000000 // s, t, s LIMIT 1), "
+        "rates AS (SELECT domain, least(1000000, "
+        "  (s * t_b * 1000000) // (s_b * t)) AS rate_ppm "
+        "  FROM sized, binding) "
+        "SELECT id, domain, n_tokens, rate_ppm FROM tok "
+        "JOIN rates USING (domain) "
+        "WHERE ('0x' || substring(md5(cast(id AS varchar)), 1, 8))::bigint "
+        "% 1000000 < rate_ppm"
+    )
+
+
 def q_corpus_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-quality gate over the documents and events tables: seven
     rules — incl. one that FAILS by design (events value range), so the
@@ -2872,6 +2915,7 @@ ORACLES: dict[str, str] = {
     "sft_examples": _sft_oracle_sql(),
     "graph_random_walks": _walks_oracle_sql(4, 2),
     "graph_kcore": _kcore_oracle_sql(3, 16),
+    "mix_domains": _mix_oracle_sql(),
     "corpus_expectations": (
         # one conditional-count pass per table + a per-key group count for
         # the uniqueness rule — same shapes as the Spark side
@@ -3681,6 +3725,7 @@ SPARK_QUERIES = {
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "bgp_orders_chain": q_bgp_orders_chain,
     "corpus_expectations": q_corpus_expectations,
+    "mix_domains": q_mix_domains,
     "bpe_pair_counts": q_bpe_pair_counts,
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,

@@ -564,3 +564,34 @@ def test_score_buckets_thirds_and_tie_handling(spark):
     # is empty, scores above the tie are tail (documented semantics)
     assert got2 == {0: "head", 1: "head", 2: "head", 3: "head",
                     4: "tail", 5: "tail"}
+
+
+def test_mix_domains_shares_and_errors(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from bop_consus_importing_rdf_spark.operators.pretrain import mix_domains
+
+    # two domains with equal tokens; target 3:1 → B thinned to ~1/3 of A
+    rows = [(i, "a" if i < 400 else "b", "tok " * 10) for i in range(800)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = mix_domains(df, {"a": 750, "b": 250})
+    kept = {
+        r["domain"]: r["k"]
+        for r in out.groupBy("domain").agg(
+            F.sum("n_tokens").alias("k")
+        ).collect()
+    }
+    # binding domain a keeps everything; b's rate = (250*T_a)/(750*T_b)=1/3
+    assert kept["a"] == 4000
+    assert 0.25 <= kept["b"] / kept["a"] <= 0.42  # md5-draw variance band
+    # rate_ppm is exact: every kept b-row carries 333333
+    assert out.filter("domain = 'b'").select("rate_ppm").distinct() \
+        .collect()[0][0] == 333_333
+    # domains absent from targets are dropped entirely
+    assert out.filter("domain NOT IN ('a','b')").count() == 0
+    # unsatisfiable target domain raises loudly
+    with pytest.raises(ValueError, match="unsatisfiable"):
+        mix_domains(df, {"a": 500, "nope": 500})
+    with pytest.raises(ValueError, match="positive"):
+        mix_domains(df, {"a": 0})
