@@ -87,3 +87,72 @@ def connected_components(
             f"iterations — labels still changing; raise max_iters"
         )
     return labels.select(F.col("node"), F.col("comp").alias("component"))
+
+
+def incremental_components(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Merge a DELTA's edges into a landed ``(node, component)`` map
+    without recomputing the corpus — the incremental-canonicalization
+    step next to ``lsh_match_index``'s incremental candidate matching
+    (you never re-run CC over 10⁸ landed entities for a day's delta).
+
+    Works on the QUOTIENT graph: each new edge's endpoints lift to their
+    landed component representative (identity for unseen nodes), CC runs
+    over those lifted edges only — a graph whose size is bounded by the
+    DELTA, not the corpus — and the landed map is rewritten by one join.
+    Exactness: landed components are min-labeled, so the min over merged
+    representatives equals the min over all members, and the result is
+    IDENTICAL to a full recompute over old ∪ new edges (oracle-checked;
+    the contract query proves equality against the recursive-CTE full
+    recompute).
+
+    Returns the updated full ``(node, component)`` map: every previously
+    landed node plus every node introduced by the delta.
+    """
+    e = new_edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    m_s = mapping.select(
+        F.col("node").alias("_s"), F.col("component").alias("_cs")
+    )
+    m_d = mapping.select(
+        F.col("node").alias("_d"), F.col("component").alias("_cd")
+    )
+    lifted = (
+        e.join(m_s, "_s", "left")
+        .join(m_d, "_d", "left")
+        .select(
+            F.coalesce(F.col("_cs"), F.col("_s")).alias("src"),
+            F.coalesce(F.col("_cd"), F.col("_d")).alias("dst"),
+        )
+    )
+    # delta-sized CC over the lifted edges (reps + unseen nodes only)
+    q = connected_components(lifted)
+    q_upd = q.select(
+        F.col("node").alias("component"),
+        F.col("component").alias("_new"),
+    )
+    updated_old = mapping.join(q_upd, "component", "left").select(
+        "node",
+        F.coalesce(F.col("_new"), F.col("component")).alias("component"),
+    )
+    # nodes introduced by the delta: in the quotient result but not a
+    # landed component representative of any landed node
+    new_nodes = (
+        q.join(
+            mapping.select(F.col("node").alias("_ln")).distinct(),
+            q["node"] == F.col("_ln"),
+            "left_anti",
+        )
+        .join(
+            mapping.select(
+                F.col("component").alias("_lc")
+            ).distinct(),
+            q["node"] == F.col("_lc"),
+            "left_anti",
+        )
+        .select("node", "component")
+    )
+    return updated_old.unionByName(new_nodes)

@@ -1821,6 +1821,39 @@ def q_entity_canonical_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_entity_map(alias_table(spark))
 
 
+def q_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC: the fixture's 25 exact near-dup edges are split
+    deterministically (md5 parity) into a LANDED batch and a DELTA; Spark
+    lands components on the old batch and merges the delta incrementally
+    (``kg/cc.py:incremental_components`` — quotient-graph CC, delta-sized
+    work). The ORACLE is the full recompute over ALL edges via the
+    recursive CTE — equality with it is precisely the incrementality
+    claim."""
+    from .kg.cc import connected_components, incremental_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("id_a"), F.col("id_b"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 5
+    )
+    tagged = pairs.withColumn("_p", parity).localCheckpoint(eager=False)
+    old_e = tagged.filter(F.col("_p") != 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    new_e = tagged.filter(F.col("_p") == 0).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    landed = connected_components(old_e)
+    return incremental_components(landed, new_e).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
 def q_kg_transcripts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL north-rule pipeline, end-to-end, oracle-checked: stable
     turn ordering (incl. double-delivery drop) → fused mention/relation
@@ -2916,6 +2949,7 @@ ORACLES: dict[str, str] = {
     "graph_random_walks": _walks_oracle_sql(4, 2),
     "graph_kcore": _kcore_oracle_sql(3, 16),
     "mix_domains": _mix_oracle_sql(),
+
     "corpus_expectations": (
         # one conditional-count pass per table + a per-key group count for
         # the uniqueness rule — same shapes as the Spark side
@@ -3680,6 +3714,18 @@ ORACLES: dict[str, str] = {
 }
 
 
+# full CC recompute over ALL near-dup edges — equality with the incremental
+# Spark path (q_cc_incremental) IS the incrementality claim. The minhash
+# pair SQL nests as a subquery-local WITH; the outer WITH must be RECURSIVE
+# for the reach CTE.
+ORACLES["cc_incremental"] = (
+    "WITH RECURSIVE pairs AS (" + ORACLES["minhash_lsh_pairs"] + "), "
+    "edges AS (SELECT id_a AS a, id_b AS b FROM pairs), "
+    + _CC_CTE.strip() + " "
+    "SELECT cast(src AS bigint) AS node, "
+    "cast(component AS bigint) AS component FROM comp"
+)
+
 SPARK_QUERIES = {
     "nt_render": q_nt_render,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
@@ -3760,6 +3806,7 @@ SPARK_QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "minhash_dedup_docs": q_minhash_dedup_docs,
     "entity_canonical_map": q_entity_canonical_map,
+    "cc_incremental": q_cc_incremental,
     "embedding_dedup_vecs": q_embedding_dedup_vecs,
     "ann_rhp_topk": q_ann_rhp_topk,
     "embedding_clusters": q_embedding_clusters,
