@@ -21,6 +21,48 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def clustering_coefficients(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Local clustering coefficient per node (Watts & Strogatz, Nature
+    1998): ``2·T(v) / (deg(v)·(deg(v)−1))`` over the canonical undirected
+    simple graph — the per-node cohesion signal next to the k-core and
+    triangle counts. Emitted as ``coeff_ppm`` (coefficient × 10⁶, BIGINT
+    integer division) so the value is engine-exact; nodes of degree < 2
+    have no defined coefficient and are omitted. Returns
+    ``(node, deg, n_triangles, coeff_ppm)``."""
+    a = F.least(F.col(src), F.col(dst)).alias("a")
+    b = F.greatest(F.col(src), F.col(dst)).alias("b")
+    und = (
+        edges.select(a, b)
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_counts(und, "a", "b")
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "(2 * coalesce(n_triangles, 0) * 1000000) div "
+                "(deg * (deg - 1))"
+            ).cast("long").alias("coeff_ppm"),
+        )
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int = 3,

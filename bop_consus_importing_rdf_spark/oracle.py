@@ -2009,6 +2009,22 @@ def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_join(docs, "doc_id", "text", threshold_pct=50, n=3)
 
 
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficients (ppm-exact) over the shortcut-closed
+    fixture graph — same edge derivation as ``graph_triangles``."""
+    from .kg.triangles import clustering_coefficients
+
+    g = _graph(spark, sf_dir)
+    e0 = g.filter(F.col("obj_kind") == "iri").select(
+        F.col("subj").alias("src"), F.col("obj_value").alias("dst")
+    )
+    mid = e0.select(F.col("src").alias("mid"), F.col("dst"))
+    shortcut = e0.select("src", F.col("dst").alias("mid")).join(
+        mid, "mid"
+    ).select("src", "dst")
+    return clustering_coefficients(e0.unionAll(shortcut))
+
+
 def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the shortcut-closed fixture graph (same edge derivation
     as ``graph_triangles``); Spark peels to FIXPOINT, the oracle unrolls
@@ -3718,6 +3734,29 @@ ORACLES: dict[str, str] = {
 # Spark path (q_cc_incremental) IS the incrementality claim. The minhash
 # pair SQL nests as a subquery-local WITH; the outer WITH must be RECURSIVE
 # for the reach CTE.
+# clustering coefficients: triangles per node (reusing the full triangles
+# oracle as a nested-WITH subquery) joined to degrees over the same
+# canonical edge set; coeff scaled x1e6 with BIGINT integer division
+ORACLES["graph_clustering"] = (
+    "WITH tri AS (" + ORACLES["graph_triangles"] + "), "
+    f"graph AS ({RDF_GRAPH_SQL}), "
+    "e0 AS (SELECT subj AS src, obj_value AS dst FROM graph "
+    "  WHERE obj_kind = 'iri'), "
+    "sc AS (SELECT e1.src AS src, e2.dst AS dst FROM e0 e1 "
+    "  JOIN e0 e2 ON e1.dst = e2.src), "
+    "eu AS (SELECT src, dst FROM e0 UNION ALL SELECT src, dst FROM sc), "
+    "e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b "
+    "  FROM eu WHERE src != dst), "
+    "degs AS (SELECT node, cast(count(*) AS bigint) AS deg FROM "
+    "  (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e) "
+    "  GROUP BY node) "
+    "SELECT d.node, d.deg, "
+    "cast(coalesce(t.n_triangles, 0) AS bigint) AS n_triangles, "
+    "cast((2 * coalesce(t.n_triangles, 0) * 1000000) // "
+    "(d.deg * (d.deg - 1)) AS bigint) AS coeff_ppm "
+    "FROM degs d LEFT JOIN tri t ON t.node = d.node WHERE d.deg >= 2"
+)
+
 ORACLES["cc_incremental"] = (
     "WITH RECURSIVE pairs AS (" + ORACLES["minhash_lsh_pairs"] + "), "
     "edges AS (SELECT id_a AS a, id_b AS b FROM pairs), "
@@ -3768,6 +3807,7 @@ SPARK_QUERIES = {
     "sft_examples": q_sft_examples,
     "graph_random_walks": q_graph_random_walks,
     "graph_kcore": q_graph_kcore,
+    "graph_clustering": q_graph_clustering,
     "prefix_jaccard_pairs": q_prefix_jaccard_pairs,
     "bgp_orders_chain": q_bgp_orders_chain,
     "corpus_expectations": q_corpus_expectations,

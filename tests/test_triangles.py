@@ -152,3 +152,37 @@ def test_kcore_fixture_depth_below_oracle_unroll(spark):
     # converges (raises loudly past max_iter) with a tight bound
     out = k_core(e0.unionAll(sc), k=3, max_iter=12)
     assert out.count() > 0
+
+
+def test_clustering_coefficients_vs_reference(spark):
+    import random
+    from itertools import combinations
+
+    from bop_consus_importing_rdf_spark.kg.triangles import (
+        clustering_coefficients,
+    )
+
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(25)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["coeff_ppm"])
+        for r in clustering_coefficients(df).collect()
+    }
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = {n: 0 for n in adj}
+    for a, b, c in combinations(sorted(adj), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for n in (a, b, c):
+                tri[n] += 1
+    ref = {
+        n: (len(adj[n]), tri[n],
+            (2 * tri[n] * 1_000_000) // (len(adj[n]) * (len(adj[n]) - 1)))
+        for n in adj if len(adj[n]) >= 2
+    }
+    assert got == ref
