@@ -3765,7 +3765,56 @@ ORACLES["cc_incremental"] = (
     "cast(component AS bigint) AS component FROM comp"
 )
 
+# Registry ORDER is load-bearing for verification coverage (round-5 verdict
+# #1): the driver checks queries() as an ordered PREFIX and stopped at 50 of
+# 89 last round, so the 16 queries that have NEVER had a driver CORRECTNESS
+# row come FIRST, followed by the 23 last sampled in round 4, with the 50
+# green-in-round-5 queries last. Within each block the previous relative
+# order is preserved (in particular split_datasets still registers before
+# split_datasets_bucketed — the _split fallback relies on it).
 SPARK_QUERIES = {
+    # -- never driver-verified (round-5 "What's missing" #1) --------------
+    "lsh_index_match": q_lsh_index_match,
+    "corpus_clean_gopher": q_corpus_clean_gopher,
+    "containment_pairs": q_containment_pairs,
+    "decontaminate": q_decontaminate,
+    "shuffle_shards": q_shuffle_shards,
+    "dsir_weights": q_dsir_weights,
+    "dsir_buckets": q_dsir_buckets,
+    "prepare_corpus": q_prepare_corpus,
+    "events_asof_join": q_events_asof_join,
+    "repetition_stats": q_repetition_stats,
+    "pii_redact": q_pii_redact,
+    "sample_stratified": q_sample_stratified,
+    "pack_sequences": q_pack_sequences,
+    "cc_incremental": q_cc_incremental,
+    "embedding_dedup_vecs": q_embedding_dedup_vecs,
+    "embedding_clusters": q_embedding_clusters,
+    # -- last sampled by the driver in round 4 ----------------------------
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "token_counts": q_token_counts,
+    "lang_id": q_lang_id,
+    "corpus_clean": q_corpus_clean,
+    "quality": q_quality,
+    "fingerprints": q_fingerprints,
+    "cosine_topk": q_cosine_topk,
+    "simhash_docs": q_simhash_docs,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "media_chunks": q_media_chunks,
+    "simhash64_docs": q_simhash64_docs,
+    "simhash_near_pairs": q_simhash_near_pairs,
+    "minhash_dedup_docs": q_minhash_dedup_docs,
+    "entity_canonical_map": q_entity_canonical_map,
+    "ann_rhp_topk": q_ann_rhp_topk,
+    "ivf_topk": q_ivf_topk,
+    "events_stable_order": q_events_stable_order,
+    "events_sessionize": q_events_sessionize,
+    "events_session_stats": q_events_session_stats,
+    "kg_transcripts_e2e": q_kg_transcripts_e2e,
+    # -- green in CORRECTNESS_r05 -----------------------------------------
     "nt_render": q_nt_render,
     "rdfxml_roundtrip": q_rdfxml_roundtrip,
     "ttl_parse_roundtrip": q_ttl_parse_roundtrip,
@@ -3816,45 +3865,6 @@ SPARK_QUERIES = {
     "bpe_merges": q_bpe_merges,
     "bpe_segment_docs": q_bpe_segment_docs,
     "tfidf_keywords": q_tfidf_keywords,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_lsh_pairs": q_minhash_lsh_pairs,
-    "lsh_index_match": q_lsh_index_match,
-    "token_counts": q_token_counts,
-    "lang_id": q_lang_id,
-    "corpus_clean": q_corpus_clean,
-    "corpus_clean_gopher": q_corpus_clean_gopher,
-    "quality": q_quality,
-    "fingerprints": q_fingerprints,
-    "containment_pairs": q_containment_pairs,
-    "decontaminate": q_decontaminate,
-    "shuffle_shards": q_shuffle_shards,
-    "dsir_weights": q_dsir_weights,
-    "dsir_buckets": q_dsir_buckets,
-    "prepare_corpus": q_prepare_corpus,
-    "events_asof_join": q_events_asof_join,
-    "repetition_stats": q_repetition_stats,
-    "pii_redact": q_pii_redact,
-    "sample_stratified": q_sample_stratified,
-    "pack_sequences": q_pack_sequences,
-    "cosine_topk": q_cosine_topk,
-    "simhash_docs": q_simhash_docs,
-    "embedding_near_dup": q_embedding_near_dup,
-    "multimodal_features": q_multimodal_features,
-    "multimodal_resize": q_multimodal_resize,
-    "media_chunks": q_media_chunks,
-    "simhash64_docs": q_simhash64_docs,
-    "simhash_near_pairs": q_simhash_near_pairs,
-    "minhash_dedup_docs": q_minhash_dedup_docs,
-    "entity_canonical_map": q_entity_canonical_map,
-    "cc_incremental": q_cc_incremental,
-    "embedding_dedup_vecs": q_embedding_dedup_vecs,
-    "ann_rhp_topk": q_ann_rhp_topk,
-    "embedding_clusters": q_embedding_clusters,
-    "ivf_topk": q_ivf_topk,
-    "events_stable_order": q_events_stable_order,
-    "events_sessionize": q_events_sessionize,
-    "events_session_stats": q_events_session_stats,
-    "kg_transcripts_e2e": q_kg_transcripts_e2e,
 }
 
 ORACLES["kg_transcripts_e2e"] = _e2e_oracle_sql()
