@@ -311,13 +311,24 @@ def _graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE per session instead of once each. The DuckDB oracle runs the
     plain CTE text — DuckDB materializes CTEs itself.
     """
+    from pyspark import StorageLevel
+
     key = (id(spark), sf_dir)
-    if key not in _GRAPH_CACHE:
+    cached = _GRAPH_CACHE.get(key)
+    if cached is not None and cached.storageLevel == StorageLevel.NONE:
+        # A session-wide clearCache() (bench.py runs one after the KG
+        # pipeline) evicts the persisted graph AND the `base` cache but
+        # leaves this memo entry; returning the evicted frame would make
+        # every later graph-derived query re-run the orders⋈customer base
+        # join once per UNION branch (~19×). Drop the stale entry and
+        # rebuild/re-pin below — within whatever query pays for it, like
+        # the first build.
+        del _GRAPH_CACHE[key]
+        cached = None
+    if cached is None:
         register_views(spark, sf_dir)
         base = spark.sql(_BASE_SQL).cache()
         base.createOrReplaceTempView("base")
-        from pyspark import StorageLevel
-
         _GRAPH_CACHE[key] = spark.sql(_GRAPH_SELECT_SQL).persist(
             StorageLevel.MEMORY_AND_DISK
         )

@@ -83,6 +83,13 @@ def ensure_materialized(df: DataFrame) -> DataFrame:
     sl = df.storageLevel
     if sl.useMemory or sl.useDisk:
         return df
+    # NOTE (round-6 probe): a shuffling Repartition at the plan root is NOT
+    # a sufficient barrier for the two-branch parse consumption — when the
+    # same cached-graph subtree feeds both union branches, the analyzer's
+    # relation dedup re-ids one side and the cache lookup stops matching,
+    # so the producer subtree INLINES into both branches (measured: the
+    # graph union expanded 2× and nt_parse ran 1.3-2× slower without this
+    # checkpoint). The localCheckpoint below stays load-bearing.
     plan = df._jdf.queryExecution().withCachedData().toString()
     if any(marker in plan for marker in _RISKY_PRODUCER_MARKERS):
         target = df.sparkSession.sparkContext.defaultParallelism

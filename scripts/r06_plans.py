@@ -38,10 +38,10 @@ def main() -> None:
         with redirect_stdout(buf):
             df.explain("formatted")
         text = buf.getvalue()
-        n_ex = text.count("Exchange hashpartitioning") + text.count(
-            "Exchange rangepartitioning"
-        ) + text.count("Exchange RoundRobinPartitioning")
-        n_bc = text.count("BroadcastExchange")
+        import re as _re
+
+        n_ex = len(_re.findall(r"^\(\d+\) Exchange", text, _re.M))
+        n_bc = len(_re.findall(r"^\(\d+\) BroadcastExchange", text, _re.M))
         n_py = (
             text.count("BatchEvalPython")
             + text.count("ArrowEvalPython")
