@@ -24,10 +24,9 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.identify import with_identifier
-from ..vocab import DCAT_CATALOG, RDF_TYPE
+from ..functions.identify import identify
+from ..vocab import DCAT_CATALOG, DCAT_DATASET, DCT_IDENTIFIER, RDF_TYPE
 from .cleanup import (
-    dataset_subjects,
     drop_blank_identifiers,
     remove_lowercase_dataset_typo,
 )
@@ -72,11 +71,34 @@ def split_datasets(
             StorageLevel.MEMORY_AND_DISK
         )
 
-    subjects = dataset_subjects(t)  # F2
+    # F2 + X1 FUSED into one scan (round-6): dataset membership and the
+    # min dct:identifier are both per-subj aggregates of the same table,
+    # so one filtered groupBy replaces the previous two scans + left join
+    # (dataset_subjects().distinct ⋈ with_identifier's groupBy) — same
+    # rows, one less pass over the statement table and no join. Over a
+    # bucketed-by-subj input the aggregation is exchange-free.
+    is_ds_stmt = (F.col("pred") == RDF_TYPE) & (
+        F.col("obj_value") == DCAT_DATASET
+    )
+    is_id_stmt = F.col("pred") == DCT_IDENTIFIER
+    subjects_with_id = (
+        t.filter(is_ds_stmt | is_id_stmt)
+        .groupBy("subj")
+        .agg(
+            F.max(is_ds_stmt).alias("_is_ds"),
+            F.min(F.when(is_id_stmt, F.col("obj_value"))).alias("_dct_id"),
+        )
+        .filter(F.col("_is_ds"))
+        .select(
+            "subj",
+            identify(
+                F.col("subj"), F.col("_dct_id"), remove_prefix,
+                precedence_uri_ref,
+            ).alias("identifier"),
+        )
+    )
     # checkpointed: feeds both the closure seeds and the final F4 semi-join
-    named = drop_blank_identifiers(  # X1 + F3
-        with_identifier(subjects, t, remove_prefix, precedence_uri_ref)
-    ).localCheckpoint()
+    named = drop_blank_identifiers(subjects_with_id).localCheckpoint()  # F3
 
     # J1 + J3 closures FUSED into one loop. The reference computes the
     # catalogue subgraph WITHIN each dataset's extracted model
@@ -93,11 +115,25 @@ def split_datasets(
         t.filter((F.col("pred") == RDF_TYPE) & (F.col("obj_value") == DCAT_CATALOG))
         .select(F.col("subj").alias("root"), F.col("subj").alias("node"))
         .distinct()
+        # checkpointed eagerly: three consumers (closure seeds, the
+        # ds/cat closure split below, cat_in_ds) would otherwise each
+        # re-run the scan + distinct; the set is catalogue-roots-sized
+        .localCheckpoint()
     )
     closure = reachable_closure(t, ds_seeds.union(cat_roots))
 
+    # Split the closure's roots back into dataset vs catalogue closures
+    # with an ANTI join against the (small) catalogue-root set instead of
+    # round-5's left-semi against the dataset-count-sized `named` table —
+    # a broadcast-sized build side instead of a 150k-row one. Equivalence
+    # incl. the mistyped-dataset corner: a dataset root D that is ALSO
+    # typed dcat:Catalog previously generated its full ds_triples and then
+    # removal (cat_root = D ∈ closure(D)) subtracted every one of them,
+    # emptying D before F4; the anti join drops D's closure up front, so D
+    # contributes no ds_triples at all — `final` is identical (oracle hash
+    # unchanged), minus the generate-then-subtract work.
     ds_closure = closure.join(
-        named.select(F.col("subj").alias("root")), "root", "left_semi"
+        cat_roots.select("root"), "root", "left_anti"
     )
     # NO repartition before the checkpoint: localCheckpoint drops
     # outputPartitioning (Scan ExistingRDD — verified empirically), so a
@@ -140,11 +176,29 @@ def split_datasets(
     ).localCheckpoint()
     t.unpersist()
 
-    # F4: drop datasets whose model ended up empty
-    non_empty = final.select(
+    # F4: drop datasets whose model ended up empty. The non-empty set is
+    # spelled as the KEYS OF THE TRIPLE-COUNT AGGREGATION, not a bare
+    # distinct — callers that also need per-dataset counts (the split
+    # consumer queries do) build the byte-identical groupBy/count, and the
+    # physical planner then REUSES one exchange for both (the round-5
+    # spelling's distinct vs count aggregates canonicalized differently,
+    # so the checkpointed statement table was scanned twice per consumer
+    # plan). Key set is identical either way.
+    non_empty = split_triple_counts(final).select(
         F.col("dataset_id").alias("subj")
-    ).distinct()
+    )
     datasets = named.join(non_empty, "subj", "left_semi").select(
         "subj", "identifier"
     )
     return final, datasets
+
+
+def split_triple_counts(ds_triples: DataFrame) -> DataFrame:
+    """Per-dataset statement counts ``(dataset_id, n_triples)``.
+
+    The canonical spelling shared by :func:`split_datasets`'s F4 filter and
+    the consumer queries — byte-identical expression trees are what lets
+    the planner collapse the two aggregations onto one exchange."""
+    return ds_triples.groupBy("dataset_id").agg(
+        F.count(F.lit(1)).alias("n_triples")
+    )

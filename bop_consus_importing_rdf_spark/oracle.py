@@ -842,10 +842,13 @@ def _split(spark: SparkSession, sf_dir: str):
 
 
 def q_split_datasets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.split import split_triple_counts
+
     ds_triples, datasets = _split(spark, sf_dir)
-    counts = ds_triples.groupBy("dataset_id").agg(
-        F.count(F.lit(1)).alias("n_triples")
-    )
+    # split_triple_counts is the same expression tree F4 uses internally,
+    # so this plan's two aggregations over the checkpointed statement
+    # table share one exchange (ReusedExchange)
+    counts = split_triple_counts(ds_triples)
     return datasets.join(
         counts, datasets["subj"] == counts["dataset_id"]
     ).select(F.col("dataset_id"), F.col("identifier"), F.col("n_triples"))
@@ -895,10 +898,10 @@ def _split_bucketed(spark: SparkSession, sf_dir: str):
 def q_split_datasets_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Identical semantics (and oracle SQL) to ``split_datasets``, probe
     side reading the bucketed production layout."""
+    from .operators.split import split_triple_counts
+
     ds_triples, datasets = _split_bucketed(spark, sf_dir)
-    counts = ds_triples.groupBy("dataset_id").agg(
-        F.count(F.lit(1)).alias("n_triples")
-    )
+    counts = split_triple_counts(ds_triples)
     return datasets.join(
         counts, datasets["subj"] == counts["dataset_id"]
     ).select(F.col("dataset_id"), F.col("identifier"), F.col("n_triples"))
