@@ -154,8 +154,15 @@ def best_alias_map(aliases: DataFrame) -> dict[str, str]:
     on the driver and shipping it as a literal MapType beats a join + window
     over every mention occurrence (the score depends only on the alias, so
     per-occurrence disambiguation is a pure lookup)."""
+    return _best_alias_map_rows(aliases.collect())
+
+
+def _best_alias_map_rows(rows) -> dict[str, str]:
+    """Driver-side core of :func:`best_alias_map` over already-collected
+    gazetteer rows — lets ``build_kg`` reuse ONE collect for the threshold
+    probe, the alias list, the argmax map and the canonical map."""
     best: dict[str, tuple[bool, float, str]] = {}
-    for r in aliases.collect():
+    for r in rows:
         cur = best.get(r.alias)
         # NULL priors lose to every scored row (leading is-None flag —
         # same ordering as matcher.best_alias_entities and the
@@ -223,13 +230,19 @@ def extract_candidate_triples(
     # calling build_kg repeatedly should too) — a lazy persist is kept on
     # this DEFAULT hot path because the eager-checkpoint alternative costs
     # a separate materialization job before the first consumer.
-    with_m = turns.withColumn(
-        "_mr",
+    # project to the three columns the two consumer branches read BEFORE
+    # persisting — role/tool/ts would otherwise sit in every cached block
+    # (an opaque persist is a column-pruning barrier: neither branch's
+    # pruning reaches through it to the source)
+    with_m = turns.select(
+        "conv_id",
+        "turn_idx",
+        "text",
         extract_mentions_and_relations(
             F.col("text"),
             alias_list,
             engine or pick_extraction_engine(turns.sparkSession),
-        ),
+        ).alias("_mr"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     mention_structs = F.transform(
         F.array_distinct(
@@ -598,24 +611,36 @@ def build_kg(
     if salt_partitions:
         turns = salted_repartition(turns, salt_partitions)
 
-    # ONE threshold probe shared with canonical_entity_map — the two
-    # decisions are structurally the same evaluation, so they cannot
-    # disagree (and the duplicate limit+count job disappears)
-    small = (
-        aliases.limit(small_dim_threshold + 1).count() <= small_dim_threshold
-    )
-    canon = canonical_entity_map(aliases, small_dim_threshold, small=small)
+    # ONE driver action covers the whole dictionary side of the small
+    # branch: take(threshold+1) IS the threshold probe (same evaluation
+    # canonical_entity_map branches on, so the two decisions cannot
+    # disagree) and, when small, the returned rows feed the alias list,
+    # the argmax linking map and the driver canonicalization directly.
+    # Round 5 ran five separate Spark jobs here (limit+count probe,
+    # alias-distinct collect, best_alias_map collect,
+    # canonical_entity_map's collect, canon.collect) — ~1.5s of pure
+    # fixed job latency per build_kg call at bench scale, independent of
+    # corpus size.
+    taken = aliases.take(small_dim_threshold + 1)
+    small = len(taken) <= small_dim_threshold
     if small:
-        alias_list = [
-            r.alias for r in aliases.select("alias").distinct().collect()
-        ]
-        best = best_alias_map(aliases)
-        canon_map = {r.entity_uri: r.canonical_id for r in canon.collect()}
-        composed = {a: canon_map.get(e, e) for a, e in best.items()}
+        alias_list = sorted({r.alias for r in taken})
+        best = _best_alias_map_rows(taken)
+        mapping = _driver_canonical_map(
+            [(r.entity_uri, r.alias) for r in taken]
+        )
+        # the canonical map DataFrame is only consumed by the lazy
+        # `entities` output — building it from the driver-side mapping
+        # costs no job here
+        canon = spark.createDataFrame(
+            sorted(mapping.items()), "entity_uri string, canonical_id string"
+        )
+        composed = {a: mapping.get(e, e) for a, e in best.items()}
         triples = extract_candidate_triples(
             turns, aliases, alias_list, entity_map=composed
         )
     else:
+        canon = canonical_entity_map(aliases, small_dim_threshold, small=False)
         raw = extract_candidate_triples_join(turns, aliases)
         triples = rewrite_canonical(raw, canon)
     triples = triples.withColumn("dataset_id", _conv_uri())
