@@ -9,7 +9,7 @@ on the mention occurrence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -33,20 +33,23 @@ def link_entities(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
     ``aliases``: the gazetteer (alias, entity_uri, prior).
 
     Returns (conv_id, turn_idx, mention_pos, alias, entity_uri, score).
+
+    The disambiguation argmax depends ONLY on the alias, so it is reduced
+    on the gazetteer FIRST (``matcher.best_alias_entities`` — the one
+    shared definition of the ``prior DESC NULLS LAST, entity_uri ASC``
+    ordering) and the winner broadcast-joined onto the occurrences. The
+    round-5 spelling ran a ``row_number`` window partitioned per
+    occurrence, which shuffled and sorted every mention in the corpus to
+    re-derive a per-alias fact — one exchange of the big side, now zero.
     """
-    cand = mentions.join(F.broadcast(aliases), "alias")
-    w = Window.partitionBy("conv_id", "turn_idx", "mention_pos").orderBy(
-        F.col("prior").desc(), F.col("entity_uri").asc()
-    )
-    return (
-        cand.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            "conv_id",
-            "turn_idx",
-            "mention_pos",
-            "alias",
-            "entity_uri",
-            F.col("prior").alias("score"),
-        )
+    from .matcher import best_alias_entities
+
+    best = best_alias_entities(aliases, include_score=True)
+    return mentions.join(F.broadcast(best), "alias").select(
+        "conv_id",
+        "turn_idx",
+        "mention_pos",
+        "alias",
+        "entity_uri",
+        "score",
     )
