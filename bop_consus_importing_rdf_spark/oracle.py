@@ -1398,7 +1398,12 @@ def q_lsh_index_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signature(word_ngrams(docs, "doc_id", "text", 3), k=6)
+    # lazy checkpoint: the signature table feeds four subtrees (banding +
+    # component re-attach, for each of the new/index slices) — see the
+    # q_minhash_lsh_pairs note
+    sig = minhash_signature(
+        word_ngrams(docs, "doc_id", "text", 3), k=6
+    ).localCheckpoint(eager=False)
     new = sig.filter(F.col("id") % 10 == 0)
     idx = sig.filter(F.col("id") % 10 != 0)
     return lsh_match_index(
@@ -1427,8 +1432,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.catalog import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = word_ngrams(docs, "doc_id", "text", 3)
-    sig = minhash_signature(sh, k=6)
+    # lazy checkpoints: the shingle stream has FOUR consumers in this plan
+    # (the signature aggregation, the per-doc sizes, both sides of the
+    # intersection join) and the signature table three (the band explode
+    # feeds the bucket count + both self-join sides) — left live, each
+    # consumer re-runs the split/transform/explode subtree from the scan;
+    # materialized once, they read blocks (round-6: 3.7s -> 2.9s min-of-3)
+    sh = word_ngrams(docs, "doc_id", "text", 3).localCheckpoint(eager=False)
+    sig = minhash_signature(sh, k=6).localCheckpoint(eager=False)
     # explicit cap, mirrored by the oracle SQL's `bok` CTE (the listing
     # API itself defaults to uncapped — ADVICE r3)
     cand = lsh_candidate_pairs(sig, bands=3, rows_per_band=2, max_bucket=4096)
