@@ -37,6 +37,23 @@ def validate_corpus(df: DataFrame, rules: list[tuple]) -> DataFrame:
     ``(rule, n_violations, n_rows, passed)``."""
     if not rules:
         raise ValueError("empty rule set")
+    # Rule names key the report rows AND the internal aggregate aliases by
+    # form:column only, so two same-form rules on one column (e.g. two
+    # in_range bounds) would collide — the later F.col(name) select would
+    # either raise an ambiguous-reference AnalysisException or silently
+    # report one rule twice (ADVICE r5). The name format is part of the
+    # report contract, so collisions are rejected loudly instead of
+    # renamed.
+    seen: set[str] = set()
+    for rule in rules:
+        name = _rule_name(rule)
+        if name in seen:
+            raise ValueError(
+                f"duplicate rule {name!r}: two rules of the same form on "
+                "the same column are ambiguous — combine them into one "
+                "rule or validate a derived column"
+            )
+        seen.add(name)
     aggs = [F.count(F.lit(1)).alias("_n")]
     unique_rules: list[tuple] = []
     for rule in rules:

@@ -86,6 +86,17 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: keep-rate for domain d against the binding domain b, over columns
+#: (s, t, t_b, s_b) — DECIMAL(38,0) so ``s·T_b·10⁶`` cannot wrap int64
+#: (the BIGINT spelling overflowed past ~9×10⁹ binding-domain tokens
+#: with shares near 1000‰ — ADVICE r5); integral ``div`` keeps the
+#: result engine-exact vs the oracle's integer arithmetic
+RATE_PPM_EXPR = (
+    "(cast(s as decimal(38,0)) * t_b * 1000000)"
+    " div (cast(s_b as decimal(38,0)) * t)"
+)
+
+
 def mix_domains(
     df: DataFrame,
     targets: dict[str, int],
@@ -107,9 +118,15 @@ def mix_domains(
 
     Plan: one token-count scan, one combinable per-domain sum, the
     binding-domain argmin on the (tiny) domain dimension, a broadcast
-    rate join back, one filter. All rate arithmetic is BIGINT integer
-    division (engine-exact); products stay in-range up to ~9×10¹² tokens
-    per domain — past that, lift to DECIMAL(38,0) in both engines.
+    rate join back, one filter. Rate arithmetic runs in DECIMAL(38,0)
+    with integral division (engine-exact, same integral results as the
+    previous BIGINT spelling): the BIGINT form overflowed int64 once
+    ``s·T_b·10⁶`` passed 2⁶³ — with per-mille shares near 1000 that is
+    only ~9×10⁹ tokens in the binding domain, well inside real corpus
+    sizes, and Spark's default non-ANSI mode would have wrapped the rate
+    silently (ADVICE r5). DECIMAL(38,0) holds ~10³⁸: safe past 10²⁸
+    tokens. Shares are validated to (0, 1000]; >1000 would demand domain
+    GROWTH, which subsampling cannot deliver.
 
     Returns kept rows: ``(id, domain, n_tokens, rate_ppm)``. Domains
     absent from ``targets`` are dropped entirely (share 0). Raises when
@@ -119,6 +136,10 @@ def mix_domains(
 
     if not targets or any(s <= 0 for s in targets.values()):
         raise ValueError("targets must be a non-empty dict of positive ‰")
+    if any(s > 1000 for s in targets.values()):
+        raise ValueError(
+            "per-mille shares above 1000 are unsatisfiable by subsampling"
+        )
     spark = df.sparkSession
     tdim = spark.createDataFrame(
         sorted(targets.items()), "domain string, s long"
@@ -141,15 +162,20 @@ def mix_domains(
             "corpus — the requested mix is unsatisfiable"
         )
     binding = sized.select(
-        F.min(F.struct(F.expr("t * 1000000 div s").alias("_cap"),
-                       F.col("t").alias("t_b"),
-                       F.col("s").alias("s_b"))).alias("_m")
+        F.min(
+            F.struct(
+                F.expr(
+                    "cast(t as decimal(38,0)) * 1000000 div s"
+                ).alias("_cap"),
+                F.col("t").alias("t_b"),
+                F.col("s").alias("s_b"),
+            )
+        ).alias("_m")
     ).select("_m.t_b", "_m.s_b")
     rates = sized.join(F.broadcast(binding), F.lit(True)).select(
         "domain",
         F.least(
-            F.lit(1_000_000).cast("long"),
-            F.expr("(s * t_b * 1000000) div (s_b * t)"),
+            F.lit(1_000_000).cast("long"), F.expr(RATE_PPM_EXPR)
         ).alias("rate_ppm"),
     )
     hex8 = F.substring(F.md5(F.col("id").cast("string")), 1, 8)

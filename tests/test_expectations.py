@@ -57,3 +57,12 @@ def test_validate_corpus_errors(spark):
         validate_corpus(df, [])
     with pytest.raises(ValueError, match="unknown rule form"):
         validate_corpus(df, [("positive", "id")])
+
+
+def test_validate_corpus_rejects_duplicate_rule_names(spark):
+    """ADVICE r5: two same-form rules on one column collide on the
+    generated aggregate alias — rejected loudly, never silently
+    double-reported."""
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="duplicate rule"):
+        validate_corpus(df, [("in_range", "id", 0, 5), ("in_range", "id", 2, 9)])

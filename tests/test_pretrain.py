@@ -595,3 +595,33 @@ def test_mix_domains_shares_and_errors(spark):
         mix_domains(df, {"a": 500, "nope": 500})
     with pytest.raises(ValueError, match="positive"):
         mix_domains(df, {"a": 0})
+
+
+def test_mix_domains_rate_expr_survives_int64_overflow_scale(spark):
+    """ADVICE r5: the BIGINT keep-rate wrapped once s*T_b*1e6 passed 2^63
+    (~9.2e9 binding-domain tokens at shares near 1000‰). The DECIMAL(38,0)
+    spelling must stay exact there."""
+    from bop_consus_importing_rdf_spark.operators.pretrain import RATE_PPM_EXPR
+
+    row = spark.createDataFrame(
+        [(1000, 40_000_000_000, 20_000_000_000, 1000)],
+        "s long, t long, t_b long, s_b long",
+    )
+    from pyspark.sql import functions as F
+
+    got = row.select(F.expr(RATE_PPM_EXPR).alias("r")).collect()[0]["r"]
+    # (1000 * 2e10 * 1e6) / (1000 * 4e10) = 5e5 — the int64 numerator
+    # (2e19) would have wrapped negative in non-ANSI mode
+    assert got == 500_000
+
+
+def test_mix_domains_rejects_over_1000_permille(spark):
+    import pytest
+
+    from bop_consus_importing_rdf_spark.operators.pretrain import mix_domains
+
+    df = spark.createDataFrame(
+        [(1, "a", "tok tok")], "doc_id long, source string, text string"
+    )
+    with pytest.raises(ValueError, match="above 1000"):
+        mix_domains(df, {"a": 1001})
