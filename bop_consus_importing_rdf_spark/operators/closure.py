@@ -168,7 +168,14 @@ def reachable_closure(
     def _prune(df: DataFrame) -> DataFrame:
         if subj_nodes is None:
             return df
-        return df.join(subj_nodes, "node", "left_semi")
+        # restore column ORDER after the USING-join: a semi join on "node"
+        # moves the join key first, and the unrolled prefix unions parts
+        # POSITIONALLY — without the select, pruned parts contributed
+        # (node, root) swapped into (root, node) and corrupted the whole
+        # closure (latent round-5 bug: the option had no caller then)
+        return df.join(subj_nodes, "node", "left_semi").select(
+            "root", "node", *scope
+        )
 
     first = seeds.select("root", "node", *scope).distinct()
     if unroll > 0:

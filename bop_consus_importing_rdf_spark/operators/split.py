@@ -120,7 +120,9 @@ def split_datasets(
         # re-run the scan + distinct; the set is catalogue-roots-sized
         .localCheckpoint()
     )
-    closure = reachable_closure(t, ds_seeds.union(cat_roots))
+    closure = reachable_closure(
+        t, ds_seeds.union(cat_roots), prune_to_subjects=True
+    )
 
     # Split the closure's roots back into dataset vs catalogue closures
     # with an ANTI join against the (small) catalogue-root set instead of

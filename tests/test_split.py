@@ -170,3 +170,37 @@ def test_dense_cyclic_graph_fanout_gate(spark):
     want = {("n0", n) for n in nodes}
     assert {(r.root, r.node) for r in gated.collect()} == want
     assert {(r.root, r.node) for r in forced.collect()} == want
+
+
+def test_prune_to_subjects_same_statements_and_column_order(spark):
+    """Round-6 regression: the prune semi-join (a USING join) moves the
+    join key first, and the unrolled prefix unions parts positionally —
+    without an explicit re-select the pruned parts contributed
+    (node, root) swapped. Pruned closure must equal unpruned ∩ subjects
+    and extract the identical statement set."""
+    from pyspark.sql import functions as F
+
+    from bop_consus_importing_rdf_spark.operators.closure import (
+        reachable_closure,
+        subgraph_triples,
+    )
+
+    rows = [
+        ("urn:d1", "urn:p:type", "urn:Dataset", "iri"),
+        ("urn:d1", "urn:p:link", "urn:mid", "iri"),
+        ("urn:mid", "urn:p:link", "urn:leaf", "iri"),
+        ("urn:mid", "urn:p:name", "m", "literal"),
+    ]
+    t = triples_df(spark, rows)
+    seeds = spark.createDataFrame(
+        [("urn:d1", "urn:d1")], "root string, node string"
+    )
+    full = reachable_closure(t, seeds)
+    pruned = reachable_closure(t, seeds, prune_to_subjects=True)
+    assert pruned.columns == ["root", "node"]
+    got = {tuple(r) for r in pruned.collect()}
+    # urn:leaf is reached but never a statement subject -> pruned
+    assert got == {("urn:d1", "urn:d1"), ("urn:d1", "urn:mid")}
+    a = sorted(map(tuple, subgraph_triples(t, full).collect()))
+    b = sorted(map(tuple, subgraph_triples(t, pruned).collect()))
+    assert a == b
