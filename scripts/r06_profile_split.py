@@ -1,11 +1,10 @@
 #!/usr/bin/env python
 """Stage-level wall-clock breakdown of the graded split query at sf0.1.
 
-Replays split_datasets(bucketed_graph(...), input_materialized=True) with a
-timer around every driver-side action (persist fill, stats agg, unroll
-checkpoint, isEmpty probe, final checkpoint, consumer materialize) so the
-bench seconds can be attributed to specific jobs. Untimed setup mirrors
-bench.py (the bucketed landing).
+Mirrors the ROUND-6 split_datasets spelling (fused subject/identifier
+aggregation, checkpointed catalogue roots, anti-join root split,
+subject-pruned closure, shared counts exchange) with a timer around every
+driver-side action. Untimed setup mirrors bench.py (the bucketed landing).
 """
 
 from __future__ import annotations
@@ -20,11 +19,28 @@ SF_DIR = "/root/testdata/sf0.1"
 
 
 def main() -> None:
-    from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
+    from bop_consus_importing_rdf_spark.functions.identify import identify
+    from bop_consus_importing_rdf_spark.operators.cleanup import (
+        drop_blank_identifiers,
+        remove_lowercase_dataset_typo,
+    )
+    from bop_consus_importing_rdf_spark.operators.closure import (
+        reachable_closure,
+        subgraph_triples,
+    )
+    from bop_consus_importing_rdf_spark.operators.split import (
+        split_triple_counts,
+    )
     from bop_consus_importing_rdf_spark.oracle import bucketed_graph
     from bop_consus_importing_rdf_spark.session import get_spark
+    from bop_consus_importing_rdf_spark.vocab import (
+        DCAT_CATALOG,
+        DCAT_DATASET,
+        DCT_IDENTIFIER,
+        RDF_TYPE,
+    )
 
     spark = get_spark("r06-profile-split", cores=32)
     spark.sparkContext.setLogLevel("ERROR")
@@ -34,52 +50,52 @@ def main() -> None:
     g = bucketed_graph(spark, SF_DIR)
     print(f"[untimed] bucketed landing: {time.perf_counter()-t0:.2f}s")
 
-    times = {}
-
-    def mark(name):
-        times[name] = time.perf_counter()
+    last = [time.perf_counter()]
 
     def lap(name):
         now = time.perf_counter()
-        prev = max(times.values())
-        print(f"  {name}: {now - prev:.3f}s")
-        times[name] = now
+        print(f"  {name}: {now - last[0]:.3f}s")
+        last[0] = now
 
-    from bop_consus_importing_rdf_spark.functions.identify import with_identifier
-    from bop_consus_importing_rdf_spark.operators.cleanup import (
-        dataset_subjects,
-        drop_blank_identifiers,
-        remove_lowercase_dataset_typo,
-    )
-    from bop_consus_importing_rdf_spark.operators.closure import (
-        reachable_closure,
-        subgraph_triples,
-    )
-    from bop_consus_importing_rdf_spark.vocab import DCAT_CATALOG, RDF_TYPE
-
-    sc.setJobDescription("split: total")
-    mark("start")
     t = remove_lowercase_dataset_typo(g)
-    subjects = dataset_subjects(t)
-    sc.setJobDescription("split: named checkpoint")
+    is_ds_stmt = (F.col("pred") == RDF_TYPE) & (
+        F.col("obj_value") == DCAT_DATASET
+    )
+    is_id_stmt = F.col("pred") == DCT_IDENTIFIER
+    sc.setJobDescription("split: named checkpoint (fused F2+X1)")
     named = drop_blank_identifiers(
-        with_identifier(subjects, t, False, False)
+        t.filter(is_ds_stmt | is_id_stmt)
+        .groupBy("subj")
+        .agg(
+            F.max(is_ds_stmt).alias("_is_ds"),
+            F.min(F.when(is_id_stmt, F.col("obj_value"))).alias("_dct_id"),
+        )
+        .filter(F.col("_is_ds"))
+        .select(
+            "subj",
+            identify(F.col("subj"), F.col("_dct_id"), False, False).alias(
+                "identifier"
+            ),
+        )
     ).localCheckpoint()
-    lap("named.localCheckpoint")
+    lap("named.localCheckpoint (fused one-scan F2+X1)")
 
     ds_seeds = named.select(F.col("subj").alias("root"), F.col("subj").alias("node"))
+    sc.setJobDescription("split: cat_roots checkpoint")
     cat_roots = (
         t.filter((F.col("pred") == RDF_TYPE) & (F.col("obj_value") == DCAT_CATALOG))
         .select(F.col("subj").alias("root"), F.col("subj").alias("node"))
         .distinct()
+        .localCheckpoint()
     )
+    lap("cat_roots.localCheckpoint")
     sc.setJobDescription("split: closure")
-    closure = reachable_closure(t, ds_seeds.union(cat_roots))
-    lap("reachable_closure (all internal actions)")
-
-    ds_closure = closure.join(
-        named.select(F.col("subj").alias("root")), "root", "left_semi"
+    closure = reachable_closure(
+        t, ds_seeds.union(cat_roots), prune_to_subjects=True
     )
+    lap("reachable_closure (pruned, all internal actions)")
+
+    ds_closure = closure.join(cat_roots.select("root"), "root", "left_anti")
     ds_triples = subgraph_triples(t, ds_closure, root_alias="dataset_id")
     cat_in_ds = ds_closure.join(
         cat_roots.select(F.col("root").alias("cat_root")),
@@ -96,19 +112,18 @@ def main() -> None:
     ).localCheckpoint()
     lap("final.localCheckpoint (subgraph+anti-join)")
 
-    non_empty = final.select(F.col("dataset_id").alias("subj")).distinct()
+    counts = split_triple_counts(final)
+    non_empty = counts.select(F.col("dataset_id").alias("subj"))
     datasets = named.join(non_empty, "subj", "left_semi").select(
         "subj", "identifier"
     )
-    counts = final.groupBy("dataset_id").agg(F.count(F.lit(1)).alias("n_triples"))
     out = datasets.join(
         counts, datasets["subj"] == counts["dataset_id"]
     ).select(F.col("dataset_id"), F.col("identifier"), F.col("n_triples"))
     sc.setJobDescription("split: consumer materialize")
     out.write.format("noop").mode("overwrite").save()
-    lap("consumer noop materialize")
-    total = time.perf_counter() - times["start"] if False else None
-    print(f"TOTAL timed: {time.perf_counter()-t0:.3f}s incl landing")
+    lap("consumer noop materialize (shared counts exchange)")
+    print(f"TOTAL incl landing: {time.perf_counter()-t0:.3f}s")
 
 
 if __name__ == "__main__":
