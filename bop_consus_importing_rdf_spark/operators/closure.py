@@ -99,8 +99,12 @@ def reachable_closure(
     ``prune_to_subjects=True`` drops reached nodes that never appear as a
     statement subject (leaf IRIs — class constants, literal-like targets).
     They can't expand the frontier and contribute nothing to a subsequent
-    ``subgraph_triples`` join. Only the returned NODE SET changes (leaves
-    omitted) — extracted statements are identical.
+    ``subgraph_triples`` join. BEST-EFFORT: applied only while the edge
+    relation broadcasts (the subject set is then broadcast-sized too and
+    the unrolled expansion stays one shuffle-free stage); past the
+    threshold the flag is a no-op. Callers must therefore treat leaf
+    nodes as MAYBE present in the returned NODE SET — extracted
+    statements are identical either way.
     """
     scope = list(scope_cols)
     edges = (
@@ -157,8 +161,17 @@ def reachable_closure(
         if stats["n_src"] and n_edges / stats["n_src"] > unroll_fanout_max:
             unroll = 0
     subj_nodes = None
-    if prune_to_subjects:
-        # materialized once — the semi-join probes it every iteration
+    if prune_to_subjects and broadcast:
+        # Pruning is BEST-EFFORT and tied to the broadcast regime: the
+        # subject set is bounded by the edge-source count, so whenever the
+        # edge relation broadcasts, the semi-join build side broadcasts
+        # too and the unrolled expansion stays one shuffle-free stage.
+        # Past the threshold the prune semi-joins would plan as per-hop
+        # sort-merge joins — extra exchanges of every hop part to drop
+        # rows the downstream joins ignore anyway — so the flag degrades
+        # to a no-op there (callers must treat leaf nodes as MAYBE
+        # included; extracted statements are identical either way).
+        # Materialized once — the semi-join probes it every iteration.
         subj_nodes = (
             triples.select(F.col("subj").alias("node"))
             .distinct()
@@ -173,7 +186,7 @@ def reachable_closure(
         # POSITIONALLY — without the select, pruned parts contributed
         # (node, root) swapped into (root, node) and corrupted the whole
         # closure (latent round-5 bug: the option had no caller then)
-        return df.join(subj_nodes, "node", "left_semi").select(
+        return df.join(F.broadcast(subj_nodes), "node", "left_semi").select(
             "root", "node", *scope
         )
 
