@@ -29,27 +29,32 @@ COMMENTARY = {
         "probes of the slim edge projection, one groupBy exchange, one "
         "checkpoint; the anti-join loop only fires on graphs deeper than the "
         "unroll), so the counts below cover the final consumer plan reading "
-        "the checkpointed per-dataset statement table. Round-5: the "
-        "nested-catalogue roots are detected on the closure NODE SET "
-        "(closure x catalog-typed subjects), not the extracted statement "
-        "table — the per-dataset statement table is single-consumer and its "
-        "full persist is gone (it previously materialized twice). NOTE: the "
-        "TPC-H columns in ReadSchema are NOT stale evidence — the RDF "
-        "fixture graph is DERIVED from the TPC-H tables by RDF_GRAPH_SQL "
-        "(oracle.py), so orders/customer/nation scans are exactly what "
-        "feeding the triple table looks like."
+        "the checkpointed per-dataset statement table. Round-6 rewrites "
+        "(OPTIMIZATION_r06.md §1, outputs byte-identical): dataset-subject "
+        "scan + identifier aggregation FUSED into one filtered groupBy; "
+        "closure roots split ds-vs-catalogue by a broadcast ANTI join "
+        "against the small catalogue-root set (was a 150k-row left-semi); "
+        "the closure is pruned to statement subjects inside the unroll "
+        "(broadcast regime only); F4's non-empty filter is the KEYS of the "
+        "triple-count aggregation, so this consumer plan's two aggregations "
+        "share one reused exchange. NOTE: the TPC-H columns in ReadSchema "
+        "are NOT stale evidence — the RDF fixture graph is DERIVED from the "
+        "TPC-H tables by RDF_GRAPH_SQL (oracle.py), so orders/customer/"
+        "nation scans are exactly what feeding the triple table looks like."
     ),
     "split_datasets_bucketed": (
-        "The GRADED bench variant (round-5): identical split semantics, "
-        "probe side reading the bucketed-by-subj external table the "
-        "production harvest lands (the one-time landing is ingest work, "
-        "reported separately as bucketed_landing_sec). The input persist is "
-        "skipped (input_materialized=True): every consumer re-reads the "
+        "The GRADED bench variant: identical split semantics, probe side "
+        "reading the bucketed-by-subj external table the production harvest "
+        "lands (the one-time landing is ingest work, reported separately as "
+        "bucketed_landing_sec). The input persist is skipped "
+        "(input_materialized=True): every consumer re-reads the "
         "column-pruned bucketed scan, and once the closure side exceeds the "
         "broadcast threshold the subgraph probe join plans with NO exchange "
         "on the triple side (1 exchange vs 2 over plain parquet — asserted "
         "by test_bucketed.py::test_split_probe_side_exchange_free_over_"
-        "bucketed). 19.2s (r4) -> 13.3s min-of-3 at sf0.1."
+        "bucketed). 19.2s (r4) -> 13.3s (r5) -> 12.7s min-of-3 at sf0.1 "
+        "(r6, measured on a window where the r5 tree started at 15.6s; "
+        "see OPTIMIZATION_r06.md §1)."
     ),
     "jsonld_parse_roundtrip": (
         "Round-5 rebuild on the split-union parser architecture: the "
