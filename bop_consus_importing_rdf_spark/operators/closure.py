@@ -70,6 +70,7 @@ def reachable_closure(
     hops_per_iter: int = 2,
     broadcast_edges_max: int = 4_000_000,
     unroll_fanout_max: float = 4.0,
+    prune_subjects_max: int = 500_000,
 ) -> DataFrame:
     """All nodes reachable from each seed root.
 
@@ -100,11 +101,12 @@ def reachable_closure(
     statement subject (leaf IRIs — class constants, literal-like targets).
     They can't expand the frontier and contribute nothing to a subsequent
     ``subgraph_triples`` join. BEST-EFFORT: applied only while the edge
-    relation broadcasts (the subject set is then broadcast-sized too and
-    the unrolled expansion stays one shuffle-free stage); past the
-    threshold the flag is a no-op. Callers must therefore treat leaf
-    nodes as MAYBE present in the returned NODE SET — extracted
-    statements are identical either way.
+    relation broadcasts AND the distinct-source estimate stays under
+    ``prune_subjects_max`` (so the semi-join build side is genuinely
+    broadcast-sized and the unrolled expansion stays one shuffle-free
+    stage); past either gate the flag is a no-op. Callers must therefore
+    treat leaf nodes as MAYBE present in the returned NODE SET —
+    extracted statements are identical either way.
     """
     scope = list(scope_cols)
     edges = (
@@ -161,17 +163,23 @@ def reachable_closure(
         if stats["n_src"] and n_edges / stats["n_src"] > unroll_fanout_max:
             unroll = 0
     subj_nodes = None
-    if prune_to_subjects and broadcast:
-        # Pruning is BEST-EFFORT and tied to the broadcast regime: the
-        # subject set is bounded by the edge-source count, so whenever the
-        # edge relation broadcasts, the semi-join build side broadcasts
-        # too and the unrolled expansion stays one shuffle-free stage.
-        # Past the threshold the prune semi-joins would plan as per-hop
-        # sort-merge joins — extra exchanges of every hop part to drop
-        # rows the downstream joins ignore anyway — so the flag degrades
-        # to a no-op there (callers must treat leaf nodes as MAYBE
-        # included; extracted statements are identical either way).
-        # Materialized once — the semi-join probes it every iteration.
+    if (
+        prune_to_subjects
+        and broadcast
+        and (stats["n_src"] or 0) <= prune_subjects_max
+    ):
+        # Pruning is BEST-EFFORT and gated twice: (a) the edge relation
+        # must be in the broadcast regime, so the extra semi-joins stay
+        # inside the one shuffle-free unrolled stage instead of planting
+        # per-hop sort-merge exchanges; (b) the subject set itself must be
+        # small (n_src, the HLL distinct-source estimate from the stats
+        # job, as a zero-cost proxy) — a forced broadcast of a multi-
+        # million-row subject set measured as a clear LOSS at the sf1
+        # probe (~1.7M subjects: build + memory pressure outweighed the
+        # ~1/6 row reduction; 63s -> 100s on the full split). Past either
+        # gate the flag degrades to a no-op (callers must treat leaf
+        # nodes as MAYBE included; extracted statements are identical
+        # either way). Materialized once — probed by every hop part.
         subj_nodes = (
             triples.select(F.col("subj").alias("node"))
             .distinct()
