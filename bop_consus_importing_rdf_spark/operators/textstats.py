@@ -262,10 +262,29 @@ def repetition_stats(
     id_type = df.schema[id_col].dataType.simpleString()
 
     def stats(batches):
+        import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            dup, big, tri = _gopher_fracs_batch(pdf["toks"].values)
+            n_rows = len(pdf)
+            dup = np.empty(n_rows)
+            big = pd.array([pd.NA] * n_rows, dtype="Float64")
+            tri = pd.array([pd.NA] * n_rows, dtype="Float64")
+            for r, tl in enumerate(pdf["toks"].values):
+                t = list(tl)
+                n = len(t)
+                dup[r] = 1.0 - len(set(t)) / n
+                if n >= 2:
+                    g = [t[i] + " " + t[i + 1] for i in range(n - 1)]
+                    _, c = np.unique(g, return_counts=True)
+                    big[r] = int(c.max()) / (n - 1)
+                if n >= 3:
+                    g = [
+                        t[i] + " " + t[i + 1] + " " + t[i + 2]
+                        for i in range(n - 2)
+                    ]
+                    _, c = np.unique(g, return_counts=True)
+                    tri[r] = int(c.max()) / (n - 2)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
@@ -280,39 +299,6 @@ def repetition_stats(
         f"{id_col} {id_type}, dup_token_frac double, "
         "top_bigram_frac double, top_trigram_frac double",
     )
-
-
-def _gopher_fracs_batch(tok_lists):
-    """numpy core of the Gopher repetition fractions for one Arrow batch
-    of JVM-tokenized documents: returns ``(dup, big, tri)`` — dup as
-    float64 (caller guarantees ≥1 token per row), big/tri as nullable
-    Float64 (NA when the document is shorter than the n-gram). Shared by
-    :func:`repetition_stats` and :func:`clean_corpus_gopher`; value-exact
-    vs the column-expression spelling (int/int IEEE double division in
-    both)."""
-    import numpy as np
-    import pandas as pd
-
-    n_rows = len(tok_lists)
-    dup = np.empty(n_rows)
-    big = pd.array([pd.NA] * n_rows, dtype="Float64")
-    tri = pd.array([pd.NA] * n_rows, dtype="Float64")
-    for r, tl in enumerate(tok_lists):
-        t = list(tl)
-        n = len(t)
-        dup[r] = 1.0 - len(set(t)) / n
-        if n >= 2:
-            g = [t[i] + " " + t[i + 1] for i in range(n - 1)]
-            _, c = np.unique(g, return_counts=True)
-            big[r] = int(c.max()) / (n - 1)
-        if n >= 3:
-            g = [
-                t[i] + " " + t[i + 1] + " " + t[i + 2]
-                for i in range(n - 2)
-            ]
-            _, c = np.unique(g, return_counts=True)
-            tri[r] = int(c.max()) / (n - 2)
-    return dup, big, tri
 
 
 def repetition_stats_columns(
@@ -430,20 +416,12 @@ def clean_corpus_gopher(
     (Rae et al. 2021): drop documents whose duplicate-token or top-2/3-gram
     fractions exceed the cuts.
 
-    Plan shape (round-6): still exactly one md5 groupBy + one semi join
-    (the dedup), and the quality/language gates stay codegen'd column
-    expressions that filter BEFORE the Python boundary. The three
-    repetition fractions then come from ONE pass-through Arrow stage
-    (``mapInPandas`` carrying the already-computed columns) running the
-    numpy mode-count core shared with :func:`repetition_stats` — the
-    round-5 spelling evaluated the interpreted ``sort_array`` +
-    run-length-fold column functions here, which profiled as ~80% of the
-    whole chain (12.9s of the 2+3-gram columns alone vs ~1s for this
-    stage at sf0.1; same 2.5× gap the round-5 1M-doc A/B measured for
-    repetition_stats). Zero exchanges either way; values are identical
-    (int/int IEEE double division in both, NULL semantics preserved: a
-    0-token document fails the dup gate, a document shorter than an
-    n-gram passes that gate — shortness is not repetition).
+    The repetition fractions are row-local column expressions (see
+    :func:`repetition_stats`), so the composed chain costs NOTHING extra
+    at scale: still exactly one md5 groupBy + one semi join (the dedup);
+    scoring, language id, and all three repetition gates evaluate in the
+    same projection. A document too short to measure an n-gram fraction
+    (NULL) passes that gate — shortness is not repetition.
     """
     from .dedup import exact_dedup
 
@@ -453,59 +431,28 @@ def clean_corpus_gopher(
         .select(F.col("id").alias(id_col))
     )
     kept = df.join(reps, id_col, "left_semi")
-    scored = quality_features(kept, text_col).withColumn(
-        "lang_pred", lang_id(F.col(text_col))
+    toks = _lower_tokens(F.col(text_col))
+    scored = (
+        quality_features(kept, text_col)
+        .withColumn("lang_pred", lang_id(F.col(text_col)))
+        .withColumn("dup_token_frac", dup_token_frac(toks))
+        .withColumn("top_bigram_frac", top_ngram_frac(toks, 2))
+        .withColumn("top_trigram_frac", top_ngram_frac(toks, 3))
     )
-    pre = scored.filter(
+    return scored.filter(
         (F.col("quality_score") >= min_quality)
         & (F.col("lang_pred") == lang)
-        # a 0-token document has NULL dup_token_frac and is dropped by
-        # that gate in the column spelling — drop it here instead so the
-        # numpy core never sees an empty token list
-        & (F.col("n_tokens") >= 1)
+        & (F.col("dup_token_frac") <= max_dup_token_frac)
+        & (F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)) <= max_top_bigram_frac)
+        & (F.coalesce(F.col("top_trigram_frac"), F.lit(0.0)) <= max_top_trigram_frac)
     ).select(
         id_col,
         "lang_pred",
         "n_tokens",
         "quality_score",
-        _lower_tokens(F.col(text_col)).alias("_toks"),
-    )
-    id_type = df.schema[id_col].dataType.simpleString()
-
-    def gates(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            dup, big, tri = _gopher_fracs_batch(pdf["_toks"].values)
-            out = pd.DataFrame(
-                {
-                    id_col: pdf[id_col].values,
-                    "lang_pred": pdf["lang_pred"].values,
-                    "n_tokens": pdf["n_tokens"].values,
-                    "quality_score": pdf["quality_score"].values,
-                    "dup_token_frac": dup,
-                    "top_bigram_frac": big,
-                    "top_trigram_frac": tri,
-                }
-            )
-            keep = (
-                (out["dup_token_frac"] <= max_dup_token_frac)
-                & (
-                    out["top_bigram_frac"].isna()
-                    | (out["top_bigram_frac"] <= max_top_bigram_frac)
-                )
-                & (
-                    out["top_trigram_frac"].isna()
-                    | (out["top_trigram_frac"] <= max_top_trigram_frac)
-                )
-            )
-            yield out[keep.fillna(False).astype(bool)]
-
-    return pre.mapInPandas(
-        gates,
-        f"{id_col} {id_type}, lang_pred string, n_tokens long, "
-        "quality_score double, dup_token_frac double, "
-        "top_bigram_frac double, top_trigram_frac double",
+        "dup_token_frac",
+        "top_bigram_frac",
+        "top_trigram_frac",
     )
 
 
